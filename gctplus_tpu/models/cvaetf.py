@@ -1,0 +1,397 @@
+"""Transformer-CVAE model family (TPU-native re-design of GCT-Plus).
+
+Two model classes mirror the reference checkpoint layouts:
+
+- `Vaetf` (reference Model/vaetf.py:117): unconditioned VAE whose
+  latent heads live in a top-level `sampler` module. (The reference
+  encoder also *contains* unused fc_mu/fc_log_var heads — those rows
+  are ignored by the converter.)
+- `Cvaetf` (reference Model/cvaetf.py:136): conditional VAE whose
+  latent heads are folded into the encoder; scalar conditions are
+  embedded as `nconds` prefix tokens on the encoder input
+  (cvaetf.py:38-41) and, with `use_cond2lat`, on the decoder's latent
+  memory with a widened source mask (cvaetf.py:107-117).
+
+All variants (vaetf/pvaetf/scavaetf/pscavaetf) are these two classes
+at different (nconds, use_cond2lat) settings; scaffold conditioning is
+pure data plumbing (a `<sep>`-joined token prefix, Model/collate_fn.py:104-117).
+
+Beyond the reference, the decoder exposes an incremental path
+(`prepare_memory` / `prefill` / `step`) used by the KV-cached
+`lax.while_loop` sampler — the reference re-runs the full decoder per
+generated token (Inference/sampling_tool.py:140-184).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gctplus_tpu.models.layers import (
+    DecoderLayer,
+    Embeddings,
+    EncoderLayer,
+    Norm,
+    PositionalEncoding,
+)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    src_vocab: int
+    trg_vocab: int
+    N: int = 6
+    d_model: int = 512
+    d_ff: int = 2048
+    heads: int = 8
+    latent_dim: int = 128
+    dropout: float = 0.1
+    nconds: int = 0
+    use_cond2dec: bool = False
+    use_cond2lat: bool = False
+    variational: bool = True
+    max_seq_len: int = 200
+    dtype: Any = jnp.float32
+
+    @property
+    def d_k(self) -> int:
+        return self.d_model // self.heads
+
+
+class Encoder(nn.Module):
+    """Embed (+cond prefix) -> PE -> N layers -> Norm [-> mu/logvar]."""
+
+    cfg: ModelConfig
+    with_latent_heads: bool
+
+    def setup(self):
+        c = self.cfg
+        self.embed_sentence = Embeddings(c.src_vocab, c.d_model, c.dtype)
+        if c.nconds > 0:
+            self.embed_cond2enc = nn.Dense(
+                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                kernel_init=nn.initializers.glorot_uniform())
+        self.pe = PositionalEncoding(c.d_model, c.max_seq_len, c.dropout, c.dtype)
+        self.layers = [
+            EncoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype)
+            for _ in range(c.N)
+        ]
+        self.norm = Norm(c.d_model, dtype=c.dtype)
+        if self.with_latent_heads:
+            self.fc_mu = nn.Dense(
+                c.latent_dim, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                kernel_init=nn.initializers.glorot_uniform())
+            self.fc_log_var = nn.Dense(
+                c.latent_dim, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                kernel_init=nn.initializers.glorot_uniform())
+
+    def __call__(self, src, src_mask, econds=None, deterministic: bool = True,
+                 return_attn: bool = False):
+        c = self.cfg
+        x = self.embed_sentence(src)
+        if c.nconds > 0:
+            cond = self.embed_cond2enc(econds.astype(c.dtype))
+            cond = cond.reshape(econds.shape[0], c.nconds, c.d_model)
+            x = jnp.concatenate([cond, x], axis=1)
+        x = self.pe(x, deterministic=deterministic)
+        attns = []
+        for layer in self.layers:
+            if return_attn:
+                x, w = layer(x, src_mask, deterministic, return_attn=True)
+                attns.append(w)
+            else:
+                x = layer(x, src_mask, deterministic)
+        x = self.norm(x)
+        if self.with_latent_heads:
+            out = (self.fc_mu(x), self.fc_log_var(x))
+        else:
+            out = x
+        if return_attn:
+            return out, attns
+        return out
+
+
+class Sampler(nn.Module):
+    """Top-level latent heads for Vaetf (reference Model/sublayers.py:7-26)."""
+
+    d_model: int
+    latent_dim: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.fc_mu = nn.Dense(
+            self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            kernel_init=nn.initializers.glorot_uniform())
+        self.fc_log_var = nn.Dense(
+            self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            kernel_init=nn.initializers.glorot_uniform())
+
+    def __call__(self, x):
+        return self.fc_mu(x), self.fc_log_var(x)
+
+
+def reparameterize(mu, log_var, eps):
+    """z = mu + eps * exp(0.5*logvar) (sublayers.py:14-18)."""
+    return mu + eps * jnp.exp(0.5 * log_var)
+
+
+class Decoder(nn.Module):
+    """Embed trg -> fc_z(z) [+cond2lat prefix] -> PE -> N layers -> Norm.
+
+    Parity: Model/cvaetf.py:72-133. Also implements the incremental
+    KV-cache path for fast sampling.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed = Embeddings(c.trg_vocab, c.d_model, c.dtype)
+        if c.use_cond2dec and c.nconds > 0:
+            self.embed_cond2dec = nn.Dense(
+                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                kernel_init=nn.initializers.glorot_uniform())
+        if c.use_cond2lat and c.nconds > 0:
+            self.embed_cond2lat = nn.Dense(
+                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                kernel_init=nn.initializers.glorot_uniform())
+        self.pe = PositionalEncoding(c.d_model, c.max_seq_len, c.dropout, c.dtype)
+        self.fc_z = nn.Dense(
+            c.d_model, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            kernel_init=nn.initializers.glorot_uniform())
+        self.layers = [
+            DecoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype)
+            for _ in range(c.N)
+        ]
+        self.norm = Norm(c.d_model, dtype=c.dtype)
+
+    def _memory_and_mask(self, z, src_mask, dconds):
+        """fc_z projection plus the cond2lat prefix + mask widening."""
+        c = self.cfg
+        mem = self.fc_z(z.astype(c.dtype))
+        if c.use_cond2lat and c.nconds > 0:
+            cond = self.embed_cond2lat(dconds.astype(c.dtype))
+            cond = cond.reshape(dconds.shape[0], c.nconds, c.d_model)
+            mem = jnp.concatenate([cond, mem], axis=1)
+            cond_mask = jnp.ones((src_mask.shape[0], 1, c.nconds), dtype=bool)
+            src_mask = jnp.concatenate([cond_mask, src_mask], axis=2)
+        return mem, src_mask
+
+    def __call__(self, trg, z, src_mask, trg_mask, dconds=None,
+                 deterministic: bool = True, return_attn: bool = False):
+        c = self.cfg
+        x = self.embed(trg)
+        if c.use_cond2dec and c.nconds > 0:
+            cond = self.embed_cond2dec(dconds.astype(c.dtype))
+            cond = cond.reshape(dconds.shape[0], c.nconds, c.d_model)
+            x = jnp.concatenate([cond, x], axis=1)
+            mem = self.fc_z(z.astype(c.dtype))
+        else:
+            mem, src_mask = self._memory_and_mask(z, src_mask, dconds)
+        x = self.pe(x, deterministic=deterministic)
+        attns_self, attns_cross = [], []
+        for layer in self.layers:
+            if return_attn:
+                x, w1, w2 = layer(x, mem, src_mask, trg_mask, deterministic,
+                                  return_attn=True)
+                attns_self.append(w1)
+                attns_cross.append(w2)
+            else:
+                x = layer(x, mem, src_mask, trg_mask, deterministic)
+        x = self.norm(x)
+        if return_attn:
+            return x, attns_self, attns_cross
+        return x
+
+    # ------------------------------------------------------------------
+    # Incremental decode path (no reference counterpart; the TPU win).
+    # Supported for use_cond2dec=False (all trained variants).
+    # ------------------------------------------------------------------
+    def prepare_memory(self, z, src_mask, dconds=None):
+        """Precompute per-layer cross-attention K/V once per sample call.
+
+        Returns (mem_ks, mem_vs, widened_src_mask); mem_ks/mem_vs are
+        (N, bs, h, Lmem, dk) stacked arrays.
+        """
+        mem, src_mask = self._memory_and_mask(z, src_mask, dconds)
+        ks, vs = [], []
+        for layer in self.layers:
+            k, v = layer.cross_kv(mem)
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs), src_mask
+
+    def prefill(self, prefix, prefix_len_mask, mem_ks, mem_vs, src_mask,
+                cache_len: int, deterministic: bool = True):
+        """Run a (right-padded) prefix through the decoder, filling the
+        self-attention KV cache.
+
+        prefix: (bs, P) token ids; prefix_len_mask: (bs, P) True for
+        real tokens.  Returns (x_all, self_ks, self_vs) where
+        self_ks/self_vs are (N, bs, h, cache_len, dk) with positions
+        [0, P) filled.
+        """
+        c = self.cfg
+        bs, P = prefix.shape
+        x = self.embed(prefix)
+        x = self.pe(x, deterministic=deterministic)
+        causal = jnp.tril(jnp.ones((P, P), dtype=bool))[None]
+        self_mask = causal & prefix_len_mask[:, None, :]
+        ks = jnp.zeros((c.N, bs, c.heads, cache_len, c.d_k), c.dtype)
+        vs = jnp.zeros_like(ks)
+        for i, layer in enumerate(self.layers):
+            k, v = layer.self_kv(x)  # (bs, h, P, dk)
+            ks = ks.at[i, :, :, :P, :].set(k)
+            vs = vs.at[i, :, :, :P, :].set(v)
+            x = self._prefill_layer(
+                layer, x, self_mask, mem_ks[i], mem_vs[i], src_mask, deterministic)
+        x = self.norm(x)
+        return x, ks, vs
+
+    @staticmethod
+    def _prefill_layer(layer, x, self_mask, mem_k, mem_v, src_mask, deterministic):
+        h = layer.norm_1(x)
+        a1 = layer.attn_1(h, h, h, self_mask, deterministic)
+        x = x + layer.drop_1(a1, deterministic=deterministic)
+        h = layer.norm_2(x)
+        a2 = layer.attn_2.attend_with_kv(h, mem_k, mem_v, src_mask, deterministic)
+        x = x + layer.drop_2(a2, deterministic=deterministic)
+        h = layer.norm_3(x)
+        x = x + layer.drop_3(layer.ff(h, deterministic), deterministic=deterministic)
+        return x
+
+    def step(self, token, pos, self_ks, self_vs, mem_ks, mem_vs, src_mask,
+             deterministic: bool = True):
+        """One decode step at (traced) position `pos`.
+
+        token: (bs,) ids of the token at `pos`.  Returns
+        (x_out (bs,1,d), new self_ks, new self_vs).
+        """
+        c = self.cfg
+        bs = token.shape[0]
+        cache_len = self_ks.shape[3]
+        x = self.embed(token[:, None])
+        x = self.pe.at_position(x, pos)
+        positions = jnp.arange(cache_len)
+        len_mask = (positions <= pos)[None, None, :]          # (1,1,T)
+        len_mask = jnp.broadcast_to(len_mask, (bs, 1, cache_len))
+        for i, layer in enumerate(self.layers):
+            k1, v1 = layer.self_kv(x)  # (bs, h, 1, dk)
+            self_ks = jax.lax.dynamic_update_slice(
+                self_ks, k1[None], (i, 0, 0, pos, 0))
+            self_vs = jax.lax.dynamic_update_slice(
+                self_vs, v1[None], (i, 0, 0, pos, 0))
+            x = layer.step(x, pos, self_ks[i], self_vs[i], mem_ks[i], mem_vs[i],
+                           len_mask, src_mask, deterministic)
+        x = self.norm(x)
+        return x, self_ks, self_vs
+
+
+class _BaseVAE(nn.Module):
+    """Shared forward/encode/decode plumbing."""
+
+    cfg: ModelConfig
+
+    def _latent_heads(self, enc_out):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def _sample_eps(self, shape, eps):
+        if not self.cfg.variational:
+            return None
+        if eps is None:
+            eps = jax.random.normal(self.make_rng("sample"), shape, jnp.float32)
+        return eps
+
+    def encode(self, src, src_mask, econds=None, eps=None,
+               deterministic: bool = True):
+        mu, log_var = self._latent_heads(
+            self.encoder(src, src_mask, econds, deterministic))
+        if self.cfg.variational:
+            eps = self._sample_eps(mu.shape, eps)
+            z = reparameterize(mu, log_var, eps)
+        else:
+            z = mu
+        return z, mu, log_var
+
+    def decode(self, trg, z, src_mask, trg_mask, dconds=None,
+               deterministic: bool = True):
+        x = self.decoder(trg, z, src_mask, trg_mask, dconds, deterministic)
+        return self.out(x)
+
+    def __call__(self, src, trg, src_mask, trg_mask, econds=None, dconds=None,
+                 eps=None, deterministic: bool = True):
+        c = self.cfg
+        z, mu, log_var = self.encode(src, src_mask, econds, eps, deterministic)
+        x = self.decoder(trg, z, src_mask, trg_mask, dconds, deterministic)
+        output = self.out(x)
+        if c.use_cond2dec and c.nconds > 0:
+            output_prop = self.prop_fc(output[:, : c.nconds, :])
+            output_mol = output[:, c.nconds:, :]
+        else:
+            output_prop = jnp.zeros((output.shape[0], c.nconds, 1), output.dtype)
+            output_mol = output
+        return output_prop, output_mol, mu, log_var, z
+
+    # --- incremental decode wrappers (used via nn.apply(method=...)) ---
+    def prepare_memory(self, z, src_mask, dconds=None):
+        return self.decoder.prepare_memory(z, src_mask, dconds)
+
+    def decode_prefill(self, prefix, prefix_len_mask, mem_ks, mem_vs, src_mask,
+                       cache_len: int, deterministic: bool = True):
+        x, ks, vs = self.decoder.prefill(
+            prefix, prefix_len_mask, mem_ks, mem_vs, src_mask, cache_len,
+            deterministic)
+        return self.out(x), ks, vs
+
+    def decode_step(self, token, pos, self_ks, self_vs, mem_ks, mem_vs,
+                    src_mask, deterministic: bool = True):
+        x, ks, vs = self.decoder.step(
+            token, pos, self_ks, self_vs, mem_ks, mem_vs, src_mask,
+            deterministic)
+        return self.out(x)[:, 0, :], ks, vs
+
+
+class Vaetf(_BaseVAE):
+    """Unconditioned VAE; latent heads in a top-level sampler module."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        assert c.nconds == 0, "vaetf is the unconditioned variant"
+        self.encoder = Encoder(c, with_latent_heads=False)
+        self.decoder = Decoder(c)
+        self.sampler = Sampler(c.d_model, c.latent_dim, c.dtype)
+        self.out = nn.Dense(
+            c.trg_vocab, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            kernel_init=nn.initializers.glorot_uniform())
+
+    def _latent_heads(self, enc_out):
+        return self.sampler(enc_out)
+
+
+class Cvaetf(_BaseVAE):
+    """Conditional VAE; latent heads folded into the encoder."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = Encoder(c, with_latent_heads=True)
+        self.decoder = Decoder(c)
+        if c.use_cond2dec and c.nconds > 0:
+            self.prop_fc = nn.Dense(
+                1, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                kernel_init=nn.initializers.glorot_uniform())
+        self.out = nn.Dense(
+            c.trg_vocab, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            kernel_init=nn.initializers.glorot_uniform())
+
+    def _latent_heads(self, enc_out):
+        return enc_out  # encoder already returned (mu, log_var)

@@ -1,0 +1,52 @@
+"""Model registry: variant name -> configured module.
+
+Mirrors reference Model/build_model.py:8-14 where all four trained
+variants share two classes:
+
+  vaetf     -> Vaetf,  nconds=0
+  pvaetf    -> Cvaetf, nconds=3, use_cond2lat=True
+  scavaetf  -> Cvaetf, nconds=0 (scaffold conditioning is data-side)
+  pscavaetf -> Cvaetf, nconds=3, use_cond2lat=True
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gctplus_tpu.models.cvaetf import Cvaetf, ModelConfig, Vaetf
+
+MODEL_REGISTRY = {
+    "vaetf": (Vaetf, dict(nconds=0, use_cond2lat=False)),
+    "pvaetf": (Cvaetf, dict(nconds=3, use_cond2lat=True)),
+    "scavaetf": (Cvaetf, dict(nconds=0, use_cond2lat=False)),
+    "pscavaetf": (Cvaetf, dict(nconds=3, use_cond2lat=True)),
+}
+
+
+def build_model(model_type: str, src_vocab: int, trg_vocab: int,
+                **overrides) -> Tuple[object, ModelConfig]:
+    cls, variant = MODEL_REGISTRY[model_type]
+    kw = dict(variant)
+    kw.update(overrides)
+    cfg = ModelConfig(src_vocab=src_vocab, trg_vocab=trg_vocab, **kw)
+    return cls(cfg), cfg
+
+
+def init_params(model, cfg: ModelConfig, rng: jax.Array, trg_len: int = 8,
+                src_len: int = 8):
+    """Initialize parameters with tiny dummy shapes (shapes don't matter:
+    all parameters are shape-static in seq-len)."""
+    src = jnp.zeros((1, src_len), jnp.int32)
+    trg = jnp.zeros((1, trg_len), jnp.int32)
+    src_mask = jnp.ones((1, 1, src_len + cfg.nconds), bool)
+    trg_mask = jnp.ones((1, trg_len, trg_len), bool)
+    conds = jnp.zeros((1, cfg.nconds), jnp.float32) if cfg.nconds > 0 else None
+    rngs = {"params": rng, "sample": rng, "dropout": rng}
+    variables = model.init(
+        rngs, src, trg, src_mask, trg_mask, econds=conds, dconds=conds,
+        deterministic=True)
+    return variables["params"]

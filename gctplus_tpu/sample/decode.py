@@ -1,0 +1,164 @@
+"""KV-cached autoregressive decode engine.
+
+This replaces the reference's hot loop (Inference/sampling_tool.py:140-184)
+which re-runs the FULL decoder over the whole prefix for every emitted
+token with a per-step host sync on the eos check — the #1 cost in every
+sampling task. TPU-native design:
+
+- one `prefill` pass fills the per-layer self-attention KV cache for
+  the start prefix (`<sos>` [+ scaffold + `<sep>`]),
+- cross-attention K/V over the latent memory are computed once
+  (they depend only on z and the conditions),
+- a `lax.while_loop` then emits one token per step — O(1) work per
+  token instead of O(L) decoder re-runs — with the all-rows-finished
+  break evaluated on device, no host round trips,
+- everything is shape-static: the token buffer is
+  `prefix_bucket + max_new` wide, generated tokens are placed
+  compactly so positional encodings match the reference exactly.
+
+Decoding algorithms match Inference/sampling_tool.py:
+greedy argmax, multinomial, and the top-k probability filter
+(`top_k_logits`, sampling_tool.py:12-16) that clamps non-top-k
+probabilities to 1e-6 before renormalized sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gctplus_tpu.models.cvaetf import ModelConfig
+
+
+def top_k_filter_probs(probs: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Clamp probabilities below the k-th largest to 1e-6
+    (parity: sampling_tool.py:12-16; multinomial renormalizes)."""
+    kth = jax.lax.top_k(probs, k)[0][..., -1:]
+    return jnp.where(probs < kth, 1e-6, probs)
+
+
+def _sample_next(logits, rng, decode_algo: str, top_k: Optional[int]):
+    """logits (bs, V) -> token ids (bs,)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if top_k is not None:
+        probs = top_k_filter_probs(probs, top_k)
+    if decode_algo == "greedy":
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    if decode_algo == "multinomial":
+        return jax.random.categorical(rng, jnp.log(probs), axis=-1).astype(jnp.int32)
+    raise ValueError(f"unknown decode_algo: {decode_algo}")
+
+
+class DecodeEngine:
+    """Caches jitted samplers keyed by static shapes.
+
+    One engine per (model, params are passed per call). Usage:
+
+        eng = DecodeEngine(model, cfg, eos_id=3, pad_id=1)
+        tokens = eng.sample(params, prefix, prefix_len, z, src_mask,
+                            dconds, rng, max_new=79,
+                            decode_algo="multinomial", top_k=None)
+    """
+
+    def __init__(self, model, cfg: ModelConfig):
+        self.model = model
+        self.cfg = cfg
+        self._jitted: Dict[Tuple, Any] = {}
+
+    # -----------------------------------------------------------------
+    def _build(self, prefix_bucket: int, lat_len: int, max_new: int,
+               decode_algo: str, top_k: Optional[int], eos_id: int,
+               pad_id: int, has_conds: bool):
+        model, cfg = self.model, self.cfg
+        cache_len = prefix_bucket + max_new
+
+        def sampler(params, prefix, prefix_len, z, src_mask, dconds, rng):
+            bs = prefix.shape[0]
+            variables = {"params": params}
+
+            mem_ks, mem_vs, wide_src_mask = model.apply(
+                variables, z, src_mask, dconds,
+                method=type(model).prepare_memory)
+
+            prefix_positions = jnp.arange(prefix_bucket)[None, :]
+            prefix_len_mask = prefix_positions < prefix_len
+
+            prefill_logits, self_ks, self_vs = model.apply(
+                variables, prefix, prefix_len_mask, mem_ks, mem_vs,
+                wide_src_mask, cache_len,
+                method=type(model).decode_prefill)
+
+            # token buffer, compact layout: [0, prefix_len) prefix,
+            # generation continues at prefix_len
+            tokens = jnp.full((bs, cache_len), pad_id, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, prefix, (0, 0))
+
+            # first new token from the last real prefix position
+            last_idx = prefix_len - 1
+            first_logits = jnp.take_along_axis(
+                prefill_logits, last_idx[None, None, None].astype(jnp.int32)
+                * jnp.ones((bs, 1, 1), jnp.int32), axis=1)[:, 0, :]
+            rng, sub = jax.random.split(rng)
+            first_tok = _sample_next(first_logits, sub, decode_algo, top_k)
+            bidx = jnp.arange(bs)
+            tokens = tokens.at[bidx, prefix_len].set(first_tok)
+            finished = first_tok == eos_id
+            cur_len = prefix_len + 1
+
+            def cond_fn(carry):
+                tokens, cur_len, finished, ks, vs, rng = carry
+                return (cur_len < prefix_len + max_new) & ~jnp.all(finished)
+
+            def body_fn(carry):
+                tokens, cur_len, finished, ks, vs, rng = carry
+                last_tok = tokens[bidx, cur_len - 1]
+                logits, ks, vs = model.apply(
+                    {"params": params}, last_tok, cur_len - 1, ks, vs,
+                    mem_ks, mem_vs, wide_src_mask,
+                    method=type(model).decode_step)
+                rng, sub = jax.random.split(rng)
+                nxt = _sample_next(logits, sub, decode_algo, top_k)
+                nxt = jnp.where(finished, pad_id, nxt)
+                tokens = tokens.at[bidx, cur_len].set(nxt)
+                finished = finished | (nxt == eos_id)
+                return (tokens, cur_len + 1, finished, ks, vs, rng)
+
+            carry = (tokens, cur_len, finished, self_ks, self_vs, rng)
+            tokens, cur_len, finished, _, _, _ = jax.lax.while_loop(
+                cond_fn, body_fn, carry)
+            return tokens
+
+        if has_conds:
+            return jax.jit(sampler)
+        # dconds is None -> make it static so jit doesn't trace it
+        return jax.jit(functools.partial_or_none(sampler)) if False else jax.jit(
+            lambda params, prefix, prefix_len, z, src_mask, rng: sampler(
+                params, prefix, prefix_len, z, src_mask, None, rng))
+
+    # -----------------------------------------------------------------
+    def sample(self, params, prefix, prefix_len: int, z, src_mask,
+               dconds, rng, max_new: int, decode_algo: str = "multinomial",
+               top_k: Optional[int] = None, eos_id: int = 3, pad_id: int = 1):
+        """Generate tokens. prefix: (bs, P_bucket) right-padded with
+        pad_id; prefix_len: python/np scalar (same for the whole batch,
+        like the reference's single-scaffold batches); z: (bs, lat_len,
+        latent_dim); src_mask: (bs, 1, lat_len [+nconds for cvaetf]).
+
+        Returns (bs, P_bucket + max_new) token ids; rows are
+        eos-terminated (pad after eos)."""
+        has_conds = dconds is not None
+        key = (prefix.shape[1], z.shape[1], max_new, decode_algo, top_k,
+               eos_id, pad_id, has_conds)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(
+                prefix.shape[1], z.shape[1], max_new, decode_algo, top_k,
+                eos_id, pad_id, has_conds)
+        fn = self._jitted[key]
+        prefix_len = jnp.asarray(prefix_len, jnp.int32)
+        if has_conds:
+            return fn(params, prefix, prefix_len, z, src_mask, dconds, rng)
+        return fn(params, prefix, prefix_len, z, src_mask, rng)
