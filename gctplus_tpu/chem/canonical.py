@@ -1,0 +1,254 @@
+"""Canonical SMILES writer (RDKit MolToSmiles replacement).
+
+Canonical ranking by iterative Morgan-style refinement over atom
+invariants, then a deterministic DFS emitting ring-closure digits and
+bracket atoms only when required. Two SMILES that parse+sanitize to
+the same graph (same kekule/aromatic perception) produce the same
+string, which is what uniqueness/novelty metrics need
+(reference usage: Utils/smiles.py:47-65,131-137).
+
+Note: stereochemistry markers (@/@@, /, \\) are DROPPED, matching the
+reference's canonicalization call `MolToSmiles(..., isomericSmiles=False)`
+in Utils/smiles.py:136 used for dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from gctplus_tpu.chem.mol import DEFAULT_VALENCES, Mol
+from gctplus_tpu.chem.sanitize import mol_from_smiles
+
+_BOND_SYM = {1.0: "", 2.0: "=", 3.0: "#", 4.0: "$"}
+
+
+def _distance_profiles(mol: Mol, base_inv) -> List[tuple]:
+    """Order-independent per-atom signature: the sorted multiset of
+    (graph distance, neighbor base invariant) over all atoms. This
+    separates non-equivalent atoms that plain Morgan refinement can
+    leave tied, making the canonical form independent of input atom
+    order."""
+    import collections
+
+    n = mol.num_atoms()
+    profiles = []
+    for src in range(n):
+        dist = {src: 0}
+        dq = collections.deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in mol.neighbors(u):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        profiles.append(tuple(sorted(
+            (d, base_inv[a]) for a, d in dist.items())))
+    return profiles
+
+
+def canonical_ranks(mol: Mol) -> List[int]:
+    """Morgan-style iterative refinement; returns rank per atom."""
+    n = mol.num_atoms()
+    ring_atoms = set()
+    for ring in mol.ring_info():
+        ring_atoms.update(ring)
+    base = []
+    for a in mol.atoms:
+        base.append((
+            a.symbol, a.aromatic, a.charge, a.n_h, a.isotope,
+            len(mol.neighbors(a.idx)), a.idx in ring_atoms,
+        ))
+    profiles = _distance_profiles(mol, base)
+    inv = [(base[i], profiles[i]) for i in range(n)]
+    # initial ranks from sorted invariants
+    order = sorted(set(inv))
+    ranks = [order.index(i) for i in inv]
+
+    for _ in range(2 * n + 2):
+        new_keys = []
+        for i in range(n):
+            nb = sorted(
+                (ranks[mol.bonds[bi].other(i)],
+                 mol.bonds[bi].order, mol.bonds[bi].aromatic)
+                for bi in mol._adj[i])
+            new_keys.append((ranks[i], tuple(nb)))
+        order = sorted(set(new_keys))
+        new_ranks = [order.index(k) for k in new_keys]
+        if new_ranks == ranks:
+            break
+        ranks = new_ranks
+
+    # break remaining ties deterministically, one at a time
+    while len(set(ranks)) < n:
+        seen: Dict[int, List[int]] = {}
+        for i, r in enumerate(ranks):
+            seen.setdefault(r, []).append(i)
+        tied = next(v for v in seen.values() if len(v) > 1)
+        chosen = min(tied)
+        ranks = [r * 2 for r in ranks]
+        ranks[chosen] -= 1
+        # re-refine
+        for _ in range(n + 1):
+            new_keys = []
+            for i in range(n):
+                nb = sorted(
+                    (ranks[mol.bonds[bi].other(i)],
+                     mol.bonds[bi].order, mol.bonds[bi].aromatic)
+                    for bi in mol._adj[i])
+                new_keys.append((ranks[i], tuple(nb)))
+            order = sorted(set(new_keys))
+            new_ranks = [order.index(k) for k in new_keys]
+            if new_ranks == ranks:
+                break
+            ranks = new_ranks
+    return ranks
+
+
+def _needs_bracket(a, mol: Mol) -> bool:
+    if a.symbol not in DEFAULT_VALENCES or a.symbol == "H":
+        return True
+    if a.charge != 0 or a.isotope != 0:
+        return True
+    if a.aromatic and a.symbol not in ("B", "C", "N", "O", "P", "S"):
+        return True
+    # implicit-H consistency: writing without brackets implies the
+    # default H fill; aromatic N-H (pyrrole) must keep [nH]
+    bond_sum = sum(
+        (1.0 if b.aromatic else b.order) for b in mol.bonds_of(a.idx))
+    if a.aromatic:
+        if a.symbol == "N" and a.n_h > 0:
+            return True
+        return False
+    vlist = DEFAULT_VALENCES[a.symbol]
+    v = next((v for v in vlist if v >= bond_sum), None)
+    if v is None:
+        return True
+    return int(v - bond_sum) != a.n_h
+
+
+def _atom_token(a, mol: Mol) -> str:
+    sym = a.symbol.lower() if a.aromatic else a.symbol
+    if not _needs_bracket(a, mol):
+        return sym
+    parts = ["["]
+    if a.isotope:
+        parts.append(str(a.isotope))
+    parts.append(sym)
+    if a.n_h == 1:
+        parts.append("H")
+    elif a.n_h > 1:
+        parts.append(f"H{a.n_h}")
+    if a.charge == 1:
+        parts.append("+")
+    elif a.charge == -1:
+        parts.append("-")
+    elif a.charge > 1:
+        parts.append(f"+{a.charge}")
+    elif a.charge < -1:
+        parts.append(f"-{-a.charge}")
+    parts.append("]")
+    return "".join(parts)
+
+
+def write_smiles(mol: Mol, ranks: Optional[List[int]] = None) -> str:
+    """Graph -> SMILES via canonical DFS."""
+    n = mol.num_atoms()
+    if ranks is None:
+        ranks = canonical_ranks(mol)
+
+    visited: Set[int] = set()
+    ring_bonds: Dict[Tuple[int, int], int] = {}
+    ring_counter = [0]
+    open_digits: Dict[int, int] = {}  # digit -> usage marker
+
+    # pre-find ring-closure bonds via DFS tree
+    tree_edges: Set[Tuple[int, int]] = set()
+
+    def dfs_tree(u: int):
+        visited.add(u)
+        for v in sorted(mol.neighbors(u), key=lambda x: ranks[x]):
+            e = (min(u, v), max(u, v))
+            if v not in visited:
+                tree_edges.add(e)
+                dfs_tree(v)
+
+    roots = []
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(10000, 4 * n + 100))
+    try:
+        for i in sorted(range(n), key=lambda x: ranks[x]):
+            if i not in visited:
+                roots.append(i)
+                dfs_tree(i)
+
+        closure_digit: Dict[Tuple[int, int], int] = {}
+        atom_closures: Dict[int, List[Tuple[int, float, bool]]] = {}
+        next_digit = [1]
+        free_digits: List[int] = []
+
+        # assign digits in output order: second DFS mirrors the writer
+        visited.clear()
+        out_fragments = []
+
+        def bond_symbol(b, parent_aromatic_pair: bool) -> str:
+            if b.aromatic:
+                return ""
+            if b.order == 1.0:
+                # explicit single needed between two aromatic atoms
+                if mol.atoms[b.a1].aromatic and mol.atoms[b.a2].aromatic:
+                    return "-"
+                return ""
+            return _BOND_SYM.get(b.order, "")
+
+        def write(u: int) -> str:
+            visited.add(u)
+            token = [_atom_token(mol.atoms[u], mol)]
+            nbrs = sorted(mol.neighbors(u), key=lambda x: ranks[x])
+            # ring-closure digits: open at first endpoint, close at second
+            for v in nbrs:
+                e = (min(u, v), max(u, v))
+                if e in tree_edges:
+                    continue
+                b = mol.get_bond(u, v)
+                if e not in closure_digit:
+                    d = free_digits.pop(0) if free_digits else next_digit[0]
+                    if d == next_digit[0]:
+                        next_digit[0] += 1
+                    closure_digit[e] = d
+                    token.append(bond_symbol(b, False) + _digit(d))
+                else:
+                    d = closure_digit.pop(e)
+                    free_digits.append(d)
+                    free_digits.sort()
+                    token.append(bond_symbol(b, False) + _digit(d))
+            branches = [v for v in nbrs
+                        if (min(u, v), max(u, v)) in tree_edges and v not in visited]
+            for bi, v in enumerate(branches):
+                b = mol.get_bond(u, v)
+                sub = bond_symbol(b, False) + write(v)
+                if bi < len(branches) - 1:
+                    token.append("(" + sub + ")")
+                else:
+                    token.append(sub)
+            return "".join(token)
+
+        for r in roots:
+            if r not in visited:
+                out_fragments.append(write(r))
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return ".".join(out_fragments)
+
+
+def _digit(d: int) -> str:
+    return str(d) if d < 10 else f"%{d:02d}"
+
+
+def canonical_smiles(smiles: str) -> Optional[str]:
+    """Parse+sanitize+canonical-write; None if invalid.
+    (reference get_canonical, Utils/smiles.py:47-65)"""
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    return write_smiles(mol)

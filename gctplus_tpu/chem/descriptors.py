@@ -1,0 +1,455 @@
+"""Molecular descriptors (RDKit Descriptors replacement).
+
+Replaces the reference's property functions (Utils/properties.py:33-101):
+logP, tPSA, QED, SAS, NP, MW, HAC, HBA, HBD, RBN, AIRN, ARRN.
+
+Implementation notes / fidelity:
+- MW, HAC, HBD, RBN, AIRN, ARRN: exact rule-based definitions.
+- tPSA: Ertl 2000 fragment contributions for N/O (the RDKit default
+  excludes S/P, matching Descriptors.TPSA used by the reference).
+- logP: Wildman-Crippen style atom-contribution model with a reduced
+  atom-type table (documented approximation of the 68-type original;
+  self-consistent across the framework's train/eval pipeline).
+- QED: Bickerton 2012 functional form (weighted geometric mean of
+  ADS-transformed descriptors); ADS parameters are a best-effort
+  reconstruction — treat absolute values as approximate.
+- SAS: Ertl-Schuffenhauer complexity terms without the precomputed
+  PubChem fragment-frequency table (which is a data artifact, not
+  code); scores are shifted but rank-correlated.
+- NP: natural-product likeness needs a trained fragment table; a
+  neutral 0.0 is returned (documented limitation).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+from gctplus_tpu.chem.mol import Mol
+from gctplus_tpu.chem.sanitize import mol_from_smiles
+
+ATOMIC_WEIGHTS = {
+    "H": 1.008, "B": 10.811, "C": 12.011, "N": 14.007, "O": 15.999,
+    "F": 18.998, "Na": 22.990, "Mg": 24.305, "Si": 28.086, "P": 30.974,
+    "S": 32.065, "Cl": 35.453, "K": 39.098, "Ca": 40.078, "Br": 79.904,
+    "I": 126.904, "Se": 78.971, "Zn": 65.38, "Fe": 55.845,
+}
+
+
+def MW(mol: Mol) -> float:
+    w = 0.0
+    for a in mol.atoms:
+        w += ATOMIC_WEIGHTS.get(a.symbol, 0.0) + a.n_h * ATOMIC_WEIGHTS["H"]
+    return w
+
+
+def HAC(mol: Mol) -> int:
+    return mol.num_atoms()
+
+
+def HBD(mol: Mol) -> int:
+    """N/O atoms bearing at least one H, counted once each
+    (CalcNumHBD semantics)."""
+    return sum(1 for a in mol.atoms
+               if a.symbol in ("N", "O") and a.n_h > 0)
+
+
+def HBA(mol: Mol) -> int:
+    """H-bond acceptors: N/O with a lone pair. Rule set: exclude
+    pyrrole-type aromatic N (its lone pair is in the ring pi system),
+    amide/sulfonamide N, and positively charged N/O."""
+    cnt = 0
+    for a in mol.atoms:
+        if a.symbol == "O":
+            if a.charge > 0:
+                continue
+            cnt += 1
+        elif a.symbol == "N":
+            if a.charge > 0:
+                continue
+            if a.aromatic and (a.n_h > 0 or len(mol.neighbors(a.idx)) == 3):
+                continue  # pyrrole-type
+            if _is_amide_n(mol, a.idx):
+                continue
+            cnt += 1
+    return cnt
+
+
+def _is_amide_n(mol: Mol, i: int) -> bool:
+    for nb in mol.neighbors(i):
+        a = mol.atoms[nb]
+        if a.symbol in ("C", "S"):
+            for b in mol.bonds_of(nb):
+                o = mol.atoms[b.other(nb)]
+                if b.order == 2.0 and o.symbol == "O":
+                    return True
+    return False
+
+
+def RBN(mol: Mol) -> int:
+    """Rotatable bonds: non-ring single bonds between heavy atoms of
+    degree >= 2, excluding amide C-N (strict definition, matches
+    CalcNumRotatableBonds default)."""
+    ring_bonds = _ring_bond_set(mol)
+    cnt = 0
+    for bi, b in enumerate(mol.bonds):
+        if b.order != 1.0 or b.aromatic or bi in ring_bonds:
+            continue
+        a1, a2 = mol.atoms[b.a1], mol.atoms[b.a2]
+        if len(mol.neighbors(b.a1)) < 2 or len(mol.neighbors(b.a2)) < 2:
+            continue
+        # triple-bond terminal axes are not rotatable (C#C-C)
+        if _has_triple(mol, b.a1) or _has_triple(mol, b.a2):
+            continue
+        # amide C-N
+        if (a1.symbol == "N" and _is_amide_c(mol, b.a2, b.a1)) or \
+           (a2.symbol == "N" and _is_amide_c(mol, b.a1, b.a2)):
+            continue
+        cnt += 1
+    return cnt
+
+
+def _has_triple(mol: Mol, i: int) -> bool:
+    return any(b.order == 3.0 for b in mol.bonds_of(i))
+
+
+def _is_amide_c(mol: Mol, c_idx: int, n_idx: int) -> bool:
+    a = mol.atoms[c_idx]
+    if a.symbol != "C":
+        return False
+    return any(b.order == 2.0 and mol.atoms[b.other(c_idx)].symbol == "O"
+               for b in mol.bonds_of(c_idx))
+
+
+def _ring_bond_set(mol: Mol):
+    rings = mol.ring_info()
+    rb = set()
+    for ring in rings:
+        for k in range(len(ring)):
+            a1, a2 = ring[k], ring[(k + 1) % len(ring)]
+            b = mol.get_bond(a1, a2)
+            if b is not None:
+                rb.add(mol.bonds.index(b))
+    return rb
+
+
+def ARRN(mol: Mol) -> int:
+    """Number of aromatic rings."""
+    return sum(1 for ring in mol.ring_info()
+               if all(mol.atoms[a].aromatic for a in ring))
+
+
+def AIRN(mol: Mol) -> int:
+    """Number of aliphatic (non-fully-aromatic) rings."""
+    return sum(1 for ring in mol.ring_info()
+               if not all(mol.atoms[a].aromatic for a in ring))
+
+
+# ---------------------------------------------------------------------------
+# tPSA — Ertl 2000 N/O contributions (RDKit default: no S/P)
+# ---------------------------------------------------------------------------
+
+def tPSA(mol: Mol) -> float:
+    psa = 0.0
+    for a in mol.atoms:
+        if a.symbol not in ("N", "O"):
+            continue
+        i = a.idx
+        bonds = mol.bonds_of(i)
+        n_arom = sum(1 for b in bonds if b.aromatic)
+        n_single = sum(1 for b in bonds if not b.aromatic and b.order == 1.0)
+        n_double = sum(1 for b in bonds if not b.aromatic and b.order == 2.0)
+        n_triple = sum(1 for b in bonds if not b.aromatic and b.order == 3.0)
+        h = a.n_h
+        q = a.charge
+        in3ring = _in_three_ring(mol, i)
+        key = (a.symbol, a.aromatic, q, h, n_single, n_double, n_triple,
+               n_arom, in3ring)
+        contrib = _TPSA_TABLE.get(key)
+        if contrib is None:
+            x = len(bonds) + h
+            if a.symbol == "N":
+                contrib = max(0.0, 30.5 - x * 8.2 + h * 1.5)
+            else:
+                contrib = max(0.0, 28.5 - x * 8.6 + h * 1.5)
+        psa += contrib
+    return psa
+
+
+def _in_three_ring(mol: Mol, i: int) -> bool:
+    nbrs = mol.neighbors(i)
+    for x in range(len(nbrs)):
+        for y in range(x + 1, len(nbrs)):
+            if mol.get_bond(nbrs[x], nbrs[y]) is not None:
+                return True
+    return False
+
+
+# key: (symbol, aromatic, charge, nH, n_single, n_double, n_triple,
+#       n_aromatic_bonds, in_3ring) -> Angstrom^2 (Ertl 2000, Table 1)
+_TPSA_TABLE: Dict[tuple, float] = {
+    # --- nitrogen, aliphatic
+    ("N", False, 0, 0, 3, 0, 0, 0, False): 3.24,   # N(-*)(-*)-*
+    ("N", False, 0, 0, 1, 1, 0, 0, False): 12.36,  # N(-*)=*
+    ("N", False, 0, 0, 0, 0, 1, 0, False): 23.79,  # N#*
+    ("N", False, 0, 0, 1, 2, 0, 0, False): 11.68,  # N(-*)(=*)=* nitro
+    ("N", False, 0, 0, 0, 1, 1, 0, False): 13.60,  # N(=*)#*
+    ("N", False, 0, 0, 3, 0, 0, 0, True): 3.01,    # 3-ring amine
+    ("N", False, 0, 1, 2, 0, 0, 0, False): 12.03,  # NH(-*)-*
+    ("N", False, 0, 1, 2, 0, 0, 0, True): 21.94,   # 3-ring NH
+    ("N", False, 0, 1, 0, 1, 0, 0, False): 23.85,  # NH=*
+    ("N", False, 0, 2, 1, 0, 0, 0, False): 26.02,  # NH2-*
+    ("N", False, 1, 0, 4, 0, 0, 0, False): 0.00,   # N+(-*)4
+    ("N", False, 1, 0, 2, 1, 0, 0, False): 3.01,   # N+(-*)(-*)=*
+    ("N", False, 1, 0, 1, 0, 1, 0, False): 4.36,   # N+(-*)#*
+    ("N", False, 1, 1, 3, 0, 0, 0, False): 4.44,   # NH+(-*)3
+    ("N", False, 1, 1, 1, 1, 0, 0, False): 13.97,  # NH+(-*)=*
+    ("N", False, 1, 2, 2, 0, 0, 0, False): 16.61,  # NH2+(-*)-*
+    ("N", False, 1, 2, 0, 1, 0, 0, False): 25.59,  # NH2+=*
+    ("N", False, 1, 3, 1, 0, 0, 0, False): 27.64,  # NH3+-*
+    # --- nitrogen, aromatic
+    ("N", True, 0, 0, 0, 0, 0, 2, False): 12.89,   # n(:*):*
+    ("N", True, 0, 0, 0, 0, 0, 3, False): 4.41,    # n(:*)(:*):*
+    ("N", True, 0, 0, 1, 0, 0, 2, False): 4.93,    # n(-*)(:*):*
+    ("N", True, 0, 0, 0, 1, 0, 2, False): 8.39,    # n(=*)(:*):* (N-oxide)
+    ("N", True, 0, 1, 0, 0, 0, 2, False): 15.79,   # [nH]
+    ("N", True, 1, 0, 0, 0, 0, 3, False): 4.10,    # [n+](:*)(:*):*
+    ("N", True, 1, 0, 1, 0, 0, 2, False): 3.88,    # [n+](-*)(:*):*
+    ("N", True, 1, 1, 0, 0, 0, 2, False): 14.14,   # [nH+]
+    # --- oxygen
+    ("O", False, 0, 0, 2, 0, 0, 0, False): 9.23,   # O(-*)-*
+    ("O", False, 0, 0, 2, 0, 0, 0, True): 12.53,   # 3-ring ether
+    ("O", False, 0, 0, 0, 1, 0, 0, False): 17.07,  # O=*
+    ("O", False, 0, 1, 1, 0, 0, 0, False): 20.23,  # OH-*
+    ("O", False, -1, 0, 1, 0, 0, 0, False): 23.06,  # O- -*
+    ("O", True, 0, 0, 0, 0, 0, 2, False): 13.14,   # aromatic o
+}
+
+
+# ---------------------------------------------------------------------------
+# logP — Crippen-style atom contributions (reduced type set)
+# ---------------------------------------------------------------------------
+
+def logP(mol: Mol) -> float:
+    total = 0.0
+    for a in mol.atoms:
+        total += _crippen_atom(mol, a)
+    return total
+
+
+def _crippen_atom(mol: Mol, a) -> float:
+    i = a.idx
+    nbrs = [mol.atoms[j] for j in mol.neighbors(i)]
+    bonds = mol.bonds_of(i)
+    hetero_nb = sum(1 for x in nbrs if x.symbol not in ("C", "H"))
+    arom_nb = sum(1 for x in nbrs if x.aromatic)
+    h = a.n_h
+
+    if a.symbol == "C":
+        if a.aromatic:
+            # aromatic carbon types (C18-C27 region of Wildman-Crippen)
+            if h > 0:
+                v = 0.1581
+            elif hetero_nb > 0 and all(not x.aromatic for x in nbrs if x.symbol != "C"):
+                v = 0.1129
+            elif arom_nb == 3:
+                v = 0.2955  # fused/bridge aromatic C
+            else:
+                v = 0.1360  # substituted aromatic C
+            return v + h * 0.1441
+        has_double = any(b.order == 2.0 for b in bonds)
+        has_triple = any(b.order == 3.0 for b in bonds)
+        if has_triple:
+            return 0.0045 + h * 0.1230
+        if has_double:
+            if any(x.symbol == "O" for x, b in zip(
+                    [mol.atoms[b.other(i)] for b in bonds], bonds)
+                    if b.order == 2.0):
+                return -0.2783 + h * 0.1230  # carbonyl carbon
+            return 0.0118 + h * 0.1230  # olefinic
+        # sp3 carbon
+        if hetero_nb == 0:
+            return 0.1441 + h * 0.1230
+        return -0.2035 + h * 0.1230
+
+    if a.symbol == "N":
+        if a.aromatic:
+            return -0.3239
+        if a.charge > 0:
+            return -1.9500 + h * 0.2142
+        if _is_amide_n(mol, i):
+            return -0.4458 + h * 0.2142
+        if h >= 2:
+            return -1.0190 + h * 0.2142
+        if h == 1:
+            return -0.7096 + h * 0.2142
+        return -0.3187
+
+    if a.symbol == "O":
+        if a.aromatic:
+            return 0.1552
+        if a.charge < 0:
+            return -1.3260
+        if any(b.order == 2.0 for b in bonds):
+            # carbonyl/acid oxygen
+            return -0.1526
+        if h > 0:
+            return -0.3567 + 0.2142  # hydroxyl + its H
+        return -0.1526  # ether
+
+    if a.symbol == "S":
+        if a.aromatic:
+            return 0.6237
+        return 0.6482
+
+    if a.symbol == "P":
+        return 0.8612
+    if a.symbol == "F":
+        return 0.4202
+    if a.symbol == "Cl":
+        return 0.6895
+    if a.symbol == "Br":
+        return 0.8456
+    if a.symbol == "I":
+        return 0.8857
+    if a.symbol == "B":
+        return -0.3187
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# QED — Bickerton 2012 weighted geometric mean of ADS-transformed
+# descriptors (approximate ADS parameter reconstruction)
+# ---------------------------------------------------------------------------
+
+def _ads(x, a, b, c, d, e, f, dmax):
+    return (a + (b / (1 + math.exp(-(x - c + d / 2) / e))
+                 * (1 - 1 / (1 + math.exp(-(x - c - d / 2) / f))))) / dmax
+
+
+_QED_ADS = {
+    # descriptor: (a, b, c, d, e, f, dmax)
+    "MW":    (2.817, 392.575, 290.749, 2.420, 49.223, 65.371, 104.981),
+    "ALOGP": (3.173, 137.862, 2.535, 4.581, 0.823, 0.576, 131.319),
+    "HBA":   (2.949, 160.461, 3.615, 4.436, 0.290, 1.301, 148.776),
+    "HBD":   (1.619, 1010.051, 0.985, 0.000, 0.714, 0.920, 258.163),
+    "PSA":   (1.877, 125.223, 62.908, 87.834, 12.020, 28.513, 104.569),
+    "ROTB":  (0.010, 272.412, 2.558, 1.566, 1.272, 2.758, 105.137),
+    "AROM":  (3.218, 957.737, 2.275, 0.000, 1.318, 0.376, 312.337),
+    "ALERTS": (0.010, 1199.094, -0.090, 0.000, 0.186, 0.875, 417.725),
+}
+
+_QED_WEIGHTS = {  # mean weights from the paper
+    "MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61, "PSA": 0.06,
+    "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95,
+}
+
+_ALERT_CHECKS = [
+    # tiny structural-alert subset (the full Brenk set is a data table)
+    lambda m: any(a.symbol == "N" and any(
+        b.order == 2.0 and m.atoms[b.other(a.idx)].symbol == "N"
+        for b in m.bonds_of(a.idx)) for a in m.atoms),          # azo
+    lambda m: any(a.symbol == "N" and a.charge == 1 and any(
+        b.order == 2.0 and m.atoms[b.other(a.idx)].symbol == "O"
+        for b in m.bonds_of(a.idx)) for a in m.atoms),          # nitro
+]
+
+
+def _n_alerts(mol: Mol) -> int:
+    return sum(1 for chk in _ALERT_CHECKS if chk(mol))
+
+
+def QED(mol: Mol) -> float:
+    vals = {
+        "MW": MW(mol),
+        "ALOGP": logP(mol),
+        "HBA": HBA(mol),
+        "HBD": HBD(mol),
+        "PSA": tPSA(mol),
+        "ROTB": RBN(mol),
+        "AROM": ARRN(mol),
+        "ALERTS": _n_alerts(mol),
+    }
+    s = 0.0
+    wsum = 0.0
+    for k, x in vals.items():
+        d = max(1e-6, min(1.0, _ads(x, *_QED_ADS[k])))
+        w = _QED_WEIGHTS[k]
+        s += w * math.log(d)
+        wsum += w
+    return math.exp(s / wsum)
+
+
+# ---------------------------------------------------------------------------
+# SAS — Ertl-Schuffenhauer complexity terms (fragment table omitted)
+# ---------------------------------------------------------------------------
+
+def SAS(mol: Mol) -> float:
+    n = mol.num_atoms()
+    rings = mol.ring_info()
+    ring_atoms = set(a for r in rings for a in r)
+    n_macro = sum(1 for r in rings if len(r) > 8)
+    n_spiro = _n_spiro(mol, rings)
+    n_bridge = _n_bridgehead(mol, rings)
+    n_stereo = sum(1 for a in mol.atoms if a.chiral)
+
+    size_penalty = n ** 1.005 - n
+    stereo_penalty = math.log10(n_stereo + 1)
+    spiro_penalty = math.log10(n_spiro + 1)
+    bridge_penalty = math.log10(n_bridge + 1)
+    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
+
+    # fragment-frequency score replaced by a smooth density prior
+    frag_score = -0.5 - 0.05 * max(0, n - 20)
+
+    score = (-frag_score + size_penalty + stereo_penalty + spiro_penalty
+             + bridge_penalty + macro_penalty)
+    # map to 1..10 like the original
+    smin, smax = -4.0, 2.5
+    sa = 11.0 - (score - smin + 1) / (smax - smin) * 9.0
+    if sa > 8.0:
+        sa = 8.0 + math.log(sa + 1.0 - 9.0)
+    return float(min(10.0, max(1.0, sa)))
+
+
+def _n_spiro(mol: Mol, rings) -> int:
+    cnt = 0
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if len(set(rings[i]) & set(rings[j])) == 1:
+                cnt += 1
+    return cnt
+
+
+def _n_bridgehead(mol: Mol, rings) -> int:
+    cnt = 0
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if len(set(rings[i]) & set(rings[j])) > 2:
+                cnt += 1
+    return cnt
+
+
+def NP(mol: Mol) -> float:
+    """Natural-product likeness requires a trained fragment table
+    (moses NP_Score artifact); returning neutral 0.0."""
+    return 0.0
+
+
+PROPERTY_FN = {
+    "logP": logP, "tPSA": tPSA, "QED": QED, "SAS": SAS, "NP": NP,
+    "MW": MW, "HAC": HAC, "HBA": HBA, "HBD": HBD, "RBN": RBN,
+    "AIRN": AIRN, "ARRN": ARRN,
+}
+
+
+def get_property_fn(props: List[str]) -> Dict[str, callable]:
+    """Name -> fn over Mol (reference Utils/properties.py:120-135)."""
+    return {p: PROPERTY_FN[p] for p in props}
+
+
+def compute_properties(smiles: str, props: List[str]) -> Optional[Dict[str, float]]:
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    return {p: PROPERTY_FN[p](mol) for p in props}

@@ -1,0 +1,127 @@
+"""Molecular fingerprints + Tanimoto (RDKit replacement).
+
+- `morgan_fingerprint`: ECFP-style circular fingerprint (default
+  radius 2, 1024 bits) replacing GetMorganFingerprintAsBitVect in the
+  reference's tanimoto_similarity (Utils/smiles.py:68-86).
+- `path_fingerprint`: linear-path (Daylight-style) fingerprint
+  replacing FingerprintMol for Murcko-scaffold similarity
+  (Utils/smiles.py:147-158).
+- `tanimoto` on packed uint64 bitsets; `bulk_tanimoto` does the
+  all-pairs popcount on device via jnp for IntDiv-scale workloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import List, Optional, Sequence, Set
+
+import numpy as np
+
+from gctplus_tpu.chem.mol import Mol
+from gctplus_tpu.chem.sanitize import mol_from_smiles
+
+
+def _h(data: tuple) -> int:
+    b = repr(data).encode()
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+
+
+def morgan_fingerprint(mol: Mol, n_bits: int = 1024, radius: int = 2) -> np.ndarray:
+    """Returns a uint8 bit vector of length n_bits."""
+    inv = []
+    for a in mol.atoms:
+        inv.append(_h((a.symbol, a.charge, a.n_h, a.aromatic,
+                       len(mol.neighbors(a.idx)), a.isotope)))
+    bits: Set[int] = set(v % n_bits for v in inv)
+    cur = inv
+    for _ in range(radius):
+        nxt = []
+        for a in mol.atoms:
+            env = sorted(
+                (b.order, b.aromatic, cur[b.other(a.idx)])
+                for b in mol.bonds_of(a.idx))
+            code = _h((cur[a.idx], tuple(env)))
+            nxt.append(code)
+            bits.add(code % n_bits)
+        cur = nxt
+    fp = np.zeros(n_bits, np.uint8)
+    fp[list(bits)] = 1
+    return fp
+
+
+def path_fingerprint(mol: Mol, n_bits: int = 2048, max_len: int = 7) -> np.ndarray:
+    """Hash all simple paths up to max_len bonds."""
+    bits: Set[int] = set()
+
+    def atom_code(i):
+        a = mol.atoms[i]
+        return (a.symbol, a.aromatic)
+
+    def bond_code(b):
+        return (b.order, b.aromatic)
+
+    n = mol.num_atoms()
+    for start in range(n):
+        stack = [(start, [start], [])]
+        while stack:
+            u, apath, bpath = stack.pop()
+            if len(bpath) >= 1:
+                key = tuple(
+                    x for pair in zip(map(atom_code, apath),
+                                      bpath + [None]) for x in pair if x)
+                rkey = tuple(
+                    x for pair in zip(map(atom_code, apath[::-1]),
+                                      bpath[::-1] + [None]) for x in pair if x)
+                bits.add(_h(min(key, rkey)) % n_bits)
+            if len(bpath) >= max_len:
+                continue
+            for b in mol.bonds_of(u):
+                v = b.other(u)
+                if v in apath:
+                    continue
+                stack.append((v, apath + [v], bpath + [bond_code(b)]))
+    fp = np.zeros(n_bits, np.uint8)
+    fp[list(bits)] = 1
+    return fp
+
+
+def smiles_to_morgan(smiles: str, n_bits: int = 1024,
+                     radius: int = 2) -> Optional[np.ndarray]:
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    return morgan_fingerprint(mol, n_bits, radius)
+
+
+def tanimoto(fp1: Optional[np.ndarray], fp2: Optional[np.ndarray]
+             ) -> Optional[float]:
+    if fp1 is None or fp2 is None:
+        return None
+    inter = int(np.sum((fp1 & fp2) != 0))
+    union = int(np.sum((fp1 | fp2) != 0))
+    return 1.0 if union == 0 else inter / union
+
+
+def tanimoto_similarity(smi1: str, smi2: str) -> Optional[float]:
+    """ECFP4/1024 Tanimoto (reference Utils/smiles.py:76-86)."""
+    return tanimoto(smiles_to_morgan(smi1), smiles_to_morgan(smi2))
+
+
+def bulk_tanimoto_matrix(fps_a: np.ndarray, fps_b: np.ndarray) -> np.ndarray:
+    """All-pairs Tanimoto via matmul on device — this is what makes
+    IntDiv/SNN over 30k x 30k molecules practical (the reference uses
+    MOSES' torch implementation; ours rides the MXU).
+
+    fps_*: (n, bits) uint8 0/1 arrays. Returns (na, nb) float32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(fps_a, jnp.float32)
+    b = jnp.asarray(fps_b, jnp.float32)
+    inter = a @ b.T
+    pa = jnp.sum(a, axis=1, keepdims=True)
+    pb = jnp.sum(b, axis=1, keepdims=True)
+    union = pa + pb.T - inter
+    return np.asarray(jnp.where(union > 0, inter / union, 1.0))

@@ -1,0 +1,150 @@
+"""Dataset + batching for XLA's static-shape world.
+
+Reference behavior being reproduced (Utils/dataset.py:251-329,
+Model/collate_fn.py): tokenize SMILES on the fly, optional
+randomization augmentation with probability randomize_prob, scaffold
+variants concatenate `scaffold + <sep> + smiles` on both src and trg,
+conditions ride along as float vectors; DistributedSampler shards rows
+across ranks.
+
+TPU-native differences:
+- batches are padded to bucketed lengths (multiples of `bucket`) so
+  XLA compiles a handful of shapes instead of one per length;
+- sharding over hosts is a `rank::world_size` slice
+  (jax.process_index()), and per-device sharding happens at
+  device_put time with a NamedSharding over the 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gctplus_tpu.chem.randomize import randomize_smiles
+from gctplus_tpu.chem.tokenizer import SmilesTokenizer
+from gctplus_tpu.chem.vocab import Vocab
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_batch(token_lists: List[List[int]], pad_id: int, bucket: int = 8,
+              max_len: Optional[int] = None) -> np.ndarray:
+    L = max(len(t) for t in token_lists)
+    L = _round_up(max(L, 1), bucket)
+    if max_len is not None:
+        L = min(L, max_len)
+    out = np.full((len(token_lists), L), pad_id, np.int32)
+    for i, t in enumerate(token_lists):
+        t = t[:L]
+        out[i, : len(t)] = t
+    return out
+
+
+class SmilesDataset:
+    """Row storage + on-the-fly tokenize/augment (Utils/dataset.py:251-289)."""
+
+    def __init__(self, smiles: Sequence[str], src_vocab: Vocab,
+                 trg_vocab: Vocab,
+                 properties: Optional[np.ndarray] = None,
+                 scaffolds: Optional[Sequence[str]] = None,
+                 randomize_prob: float = 0.0,
+                 seed: int = 0):
+        self.smiles = list(smiles)
+        self.scaffolds = list(scaffolds) if scaffolds is not None else None
+        self.properties = (np.asarray(properties, np.float32)
+                           if properties is not None else None)
+        self.src_vocab = src_vocab
+        self.trg_vocab = trg_vocab
+        self.randomize_prob = randomize_prob
+        self.tokenizer = SmilesTokenizer()
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.smiles)
+
+    def __getitem__(self, i: int) -> Dict:
+        smi = self.smiles[i]
+        if self.randomize_prob > 0 and self.rng.random() < self.randomize_prob:
+            r = randomize_smiles(smi, self.rng)
+            if r is not None:
+                smi = r
+        toks = self.tokenizer(smi)
+        item: Dict = {"src": toks, "trg": toks}
+        if self.scaffolds is not None:
+            sca = self.tokenizer(self.scaffolds[i] or "")
+            item["src_scaffold"] = sca
+            item["trg_scaffold"] = sca
+        if self.properties is not None:
+            item["econds"] = self.properties[i]
+            item["dconds"] = self.properties[i]
+        return item
+
+
+class BatchLoader:
+    """Collate + shuffle + host-shard. Yields numpy dict batches.
+
+    use_scaffold=True reproduces scavaetf_collate_fn
+    (Model/collate_fn.py:104-124): src = scaffold+<sep>+smiles (no
+    sos/eos), trg = <sos>+scaffold+<sep>+smiles+<eos>.
+    """
+
+    def __init__(self, dataset: SmilesDataset, batch_size: int,
+                 use_scaffold: bool = False, shuffle: bool = True,
+                 seed: int = 0, rank: int = 0, world_size: int = 1,
+                 bucket: int = 8, drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.use_scaffold = use_scaffold
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.rank = rank
+        self.world_size = world_size
+        self.bucket = bucket
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int):
+        """DistributedSampler.set_epoch analog (train1 epoch reshuffle)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.rank:: self.world_size]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        sv, tv = self.ds.src_vocab, self.ds.trg_vocab
+        for start in range(0, len(idx), self.batch_size):
+            rows = [self.ds[i] for i in idx[start: start + self.batch_size]]
+            if self.drop_last and len(rows) < self.batch_size:
+                break
+            if self.use_scaffold:
+                src_tok = [r["src_scaffold"] + ["<sep>"] + r["src"] for r in rows]
+                trg_tok = [r["trg_scaffold"] + ["<sep>"] + r["trg"] for r in rows]
+            else:
+                src_tok = [r["src"] for r in rows]
+                trg_tok = [r["trg"] for r in rows]
+            src_ids = [sv.encode(t) for t in src_tok]
+            trg_ids = [[tv.sos_id] + tv.encode(t) + [tv.eos_id] for t in trg_tok]
+            batch: Dict[str, np.ndarray] = {
+                "src": pad_batch(src_ids, sv.pad_id, self.bucket),
+                "trg": pad_batch(trg_ids, tv.pad_id, self.bucket),
+            }
+            if "econds" in rows[0]:
+                batch["econds"] = np.stack([r["econds"] for r in rows])
+                batch["dconds"] = np.stack([r["dconds"] for r in rows])
+            yield batch

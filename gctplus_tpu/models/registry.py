@@ -45,8 +45,14 @@ def init_params(model, cfg: ModelConfig, rng: jax.Array, trg_len: int = 8,
     src_mask = jnp.ones((1, 1, src_len + cfg.nconds), bool)
     trg_mask = jnp.ones((1, trg_len, trg_len), bool)
     conds = jnp.zeros((1, cfg.nconds), jnp.float32) if cfg.nconds > 0 else None
-    rngs = {"params": rng, "sample": rng, "dropout": rng}
-    variables = model.init(
-        rngs, src, trg, src_mask, trg_mask, econds=conds, dconds=conds,
-        deterministic=True)
-    return variables["params"]
+
+    # eager op-by-op dispatch is very slow in this environment; compile
+    # the whole init into one XLA program
+    @jax.jit
+    def _init(rng):
+        rngs = {"params": rng, "sample": rng, "dropout": rng}
+        return model.init(
+            rngs, src, trg, src_mask, trg_mask, econds=conds, dconds=conds,
+            deterministic=True)["params"]
+
+    return _init(rng)

@@ -134,8 +134,8 @@ class DecodeEngine:
 
         if has_conds:
             return jax.jit(sampler)
-        # dconds is None -> make it static so jit doesn't trace it
-        return jax.jit(functools.partial_or_none(sampler)) if False else jax.jit(
+        # dconds is None -> close over it so jit doesn't trace a None
+        return jax.jit(
             lambda params, prefix, prefix_len, z, src_mask, rng: sampler(
                 params, prefix, prefix_len, z, src_mask, None, rng))
 

@@ -1,0 +1,53 @@
+"""ELBO loss and KL annealing.
+
+Parity with the reference trainer (Train/trainer1.py:14-30):
+
+  RCE  = sum cross_entropy(logits, trg[:,1:]) over non-pad tokens
+         (reduction='sum', ignore_index=pad)
+  KLD  = -0.5 * sum(1 + logvar - mu^2 - exp(logvar))
+  loss = RCE + beta * KLD  (+ sum-MSE property term when use_cond2dec)
+
+  beta(epoch) = ini + inc * ((epoch+1) - beg_epoch), gated at
+  epoch+1 >= beg_epoch, capped at max_beta (trainer1.py:14-16,171-176).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def kl_annealing_beta(epoch: int, prev_beta: float, use_KLA: bool = True,
+                      ini_beta: float = 0.02, inc_beta: float = 0.02,
+                      beg_epoch: int = 1, max_beta: float = 1.0) -> float:
+    if not use_KLA:
+        return 1.0
+    beta = prev_beta
+    if epoch + 1 >= beg_epoch and prev_beta < max_beta:
+        beta = ini_beta + inc_beta * ((epoch + 1) - beg_epoch)
+    return float(beta)
+
+
+def elbo_loss(logits_mol, trg_labels, mu, log_var, beta, pad_id: int,
+              logits_prop=None, trg_props=None
+              ) -> Tuple[jnp.ndarray, dict]:
+    """Sum-reduced ELBO. logits_mol: (bs, L, V); trg_labels: (bs, L)."""
+    logits = logits_mol.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, trg_labels[..., None], axis=-1)[..., 0]
+    valid = (trg_labels != pad_id).astype(jnp.float32)
+    rce = jnp.sum(nll * valid)
+
+    mu = mu.astype(jnp.float32)
+    log_var = log_var.astype(jnp.float32)
+    kld = -0.5 * jnp.sum(1.0 + log_var - mu ** 2 - jnp.exp(log_var))
+
+    loss = rce + beta * kld
+    rce_prop = jnp.zeros((), jnp.float32)
+    if logits_prop is not None and trg_props is not None:
+        rce_prop = jnp.sum((logits_prop.astype(jnp.float32) - trg_props) ** 2)
+        loss = loss + rce_prop
+    aux = {"RCE": rce, "KLD": kld, "RCE_prop": rce_prop, "LOSS": loss}
+    return loss, aux

@@ -1,0 +1,119 @@
+"""Jitted train/eval steps over a device mesh.
+
+The reference's per-batch hot loop (Train/trainer1.py:71-156) is:
+forward -> ELBO -> backward -> Adam -> inline Noam LR; DDP all-reduce
+hides in loss.backward(). Here the whole step is ONE compiled XLA
+program: masks are built on device, the gradient all-reduce over the
+'data' mesh axis is inserted by XLA (params replicated, batch
+sharded), and the optimizer update is fused in. Teacher forcing uses
+trg[:, :-1] -> labels trg[:, 1:] (Model/forward_propagation1.py:4-40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gctplus_tpu.models.masks import get_src_mask, get_trg_mask
+from gctplus_tpu.train.loss import elbo_loss
+from gctplus_tpu.train.schedule import make_optimizer, noam_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx, start_step: int = 0):
+        return cls(step=jnp.asarray(start_step, jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def _forward_loss(model, params, batch, beta, pad_id, use_cond2dec, rng):
+    """batch: dict(src (bs,Ls), trg (bs,Lt) [, econds, dconds])."""
+    econds = batch.get("econds")
+    dconds = batch.get("dconds")
+    src, trg = batch["src"], batch["trg"]
+    trg_in = trg[:, :-1]
+    labels = trg[:, 1:]
+    src_mask = get_src_mask(src, pad_id, econds)
+    trg_mask = get_trg_mask(trg_in, pad_id, use_cond2dec, dconds)
+    sample_rng, drop_rng = jax.random.split(rng)
+    out_prop, out_mol, mu, log_var, _ = model.apply(
+        {"params": params}, src, trg_in, src_mask, trg_mask,
+        econds=econds, dconds=dconds, deterministic=False,
+        rngs={"sample": sample_rng, "dropout": drop_rng})
+    if use_cond2dec and dconds is not None:
+        trg_props = dconds[..., None]
+    else:
+        out_prop, trg_props = None, None
+    loss, aux = elbo_loss(out_mol, labels, mu, log_var, beta, pad_id,
+                          out_prop, trg_props)
+    n = src.shape[0]
+    aux = {k: v / n for k, v in aux.items()}  # per-sample history parity
+    return loss, aux
+
+
+def make_train_step(model, pad_id: int, use_cond2dec: bool,
+                    lr_schedule: Optional[Callable] = None,
+                    donate: bool = True) -> Callable:
+    """Returns step(state, batch, beta, rng) -> (state, metrics).
+
+    On a mesh, place batch arrays with NamedSharding(mesh, P('data'));
+    XLA all-reduces grads over 'data' automatically (params replicated).
+    """
+
+    def step(state: TrainState, batch, beta, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(model, p, batch, beta, pad_id,
+                                    use_cond2dec, rng), has_aux=True)
+        (_, aux), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads)
+        if lr_schedule is not None:
+            aux["LR"] = lr_schedule(state.step)  # count used by this update
+        return new_state, aux
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, pad_id: int, use_cond2dec: bool) -> Callable:
+    """Validation step: same loss, no grad, dropout off but latent
+    sampling ON (the reference validates with model.eval() yet still
+    reparameterizes through Encoder.sampling — trainer1.py:205-210)."""
+
+    def step(params, batch, beta, rng):
+        econds = batch.get("econds")
+        dconds = batch.get("dconds")
+        src, trg = batch["src"], batch["trg"]
+        trg_in, labels = trg[:, :-1], trg[:, 1:]
+        src_mask = get_src_mask(src, pad_id, econds)
+        trg_mask = get_trg_mask(trg_in, pad_id, use_cond2dec, dconds)
+        out_prop, out_mol, mu, log_var, _ = model.apply(
+            {"params": params}, src, trg_in, src_mask, trg_mask,
+            econds=econds, dconds=dconds, deterministic=True,
+            rngs={"sample": rng})
+        if use_cond2dec and dconds is not None:
+            trg_props = dconds[..., None]
+        else:
+            out_prop, trg_props = None, None
+        _, aux = elbo_loss(out_mol, labels, mu, log_var, beta, pad_id,
+                           out_prop, trg_props)
+        n = src.shape[0]
+        return {k: v / n for k, v in aux.items()}
+
+    return jax.jit(step)

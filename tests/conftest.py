@@ -10,6 +10,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the axon site hook pins JAX_PLATFORMS before conftest runs; override
+# through the config API (effective until the backend initializes)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 from pathlib import Path
 

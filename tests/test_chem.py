@@ -1,0 +1,151 @@
+"""Chemistry substrate tests: parser/sanitizer validity oracle,
+canonicalization invariance, scaffolds, fingerprints."""
+
+import random
+
+import numpy as np
+import pytest
+
+from gctplus_tpu.chem.canonical import canonical_smiles
+from gctplus_tpu.chem.fingerprints import (
+    bulk_tanimoto_matrix,
+    smiles_to_morgan,
+    tanimoto_similarity,
+)
+from gctplus_tpu.chem.randomize import randomize_smiles
+from gctplus_tpu.chem.sanitize import is_valid_smiles, mol_from_smiles
+from gctplus_tpu.chem.scaffold import murcko_scaffold
+
+VALID = [
+    "C",
+    "CCO",
+    "c1ccccc1",                          # benzene
+    "c1ccc2ccccc2c1",                    # naphthalene
+    "c1ccncc1",                          # pyridine
+    "c1cc[nH]c1",                        # pyrrole
+    "c1ccoc1",                           # furan
+    "c1ccsc1",                           # thiophene
+    "CC(=O)Nc1ccc(O)cc1",                # paracetamol
+    "CC(=O)Oc1ccccc1C(=O)O",             # aspirin
+    "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",      # caffeine (kekule form)
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C",        # caffeine (aromatic form)
+    "OC[C@@H](O)[C@@H](O)C=O",           # chiral markers tolerated
+    "C/C=C/C",                           # stereo bonds tolerated
+    "C1CC1",                             # cyclopropane
+    "C%10CC%10",                         # %NN ring closure
+    "[NH4+]",
+    "CC(C)(C)c1ccc(O)cc1",
+    "O=C(O)c1ccccc1",
+    "N#Cc1ccccc1",
+    "FC(F)(F)c1ccccc1",
+    "ClCBr",
+    "C1=CC=CC=C1",                       # kekule benzene
+    "c1ccc(-c2ccccc2)cc1",               # biphenyl
+    "O=S(=O)(N)c1ccccc1",                # sulfonamide (S valence 6)
+    "[O-]C(=O)C[NH3+]",                  # glycine zwitterion
+    "C1CCC2(CC1)CCCCC2",                 # spiro
+    "c1ccc2[nH]ccc2c1",                  # indole
+]
+
+INVALID = [
+    "",
+    "C1CC",          # unclosed ring
+    "C(C",           # unclosed branch
+    "C)C",           # unmatched close
+    "CC==C",         # double bond symbol
+    "C#####C",
+    "c1cc1",         # aromatic 3-ring can't kekulize carbons
+    "cc",            # aromatic atoms not in ring
+    "C(F)(F)(F)(F)F",  # carbon valence 5
+    "O=C=O=C",       # oxygen valence 3
+    "[C@@",          # unclosed bracket
+    "1CC1",          # ring digit before atom
+    "C%1CC%1",       # bad %N
+    "N(C)(C)(C)C",   # neutral N valence 4
+    "c1ccnc1",       # 5-ring all-pi (pyridine-like n in 5 ring): odd pi count
+]
+
+
+@pytest.mark.parametrize("smi", VALID)
+def test_valid(smi):
+    assert is_valid_smiles(smi), smi
+
+
+@pytest.mark.parametrize("smi", INVALID)
+def test_invalid(smi):
+    assert not is_valid_smiles(smi), smi
+
+
+def test_hydrogen_counts():
+    m = mol_from_smiles("CCO")
+    assert [a.n_h for a in m.atoms] == [3, 2, 1]
+    m = mol_from_smiles("c1ccccc1")
+    assert all(a.n_h == 1 for a in m.atoms)
+    m = mol_from_smiles("c1cc[nH]c1")
+    ns = [a for a in m.atoms if a.symbol == "N"]
+    assert ns[0].n_h == 1
+    m = mol_from_smiles("c1ccncc1")
+    ns = [a for a in m.atoms if a.symbol == "N"]
+    assert ns[0].n_h == 0
+
+
+def test_kekulization_alternation():
+    m = mol_from_smiles("c1ccccc1")
+    orders = sorted(b.order for b in m.bonds)
+    assert orders == [1.0, 1.0, 1.0, 2.0, 2.0, 2.0]
+
+
+def test_canonical_identity_and_invariance():
+    for smi in VALID:
+        c1 = canonical_smiles(smi)
+        assert c1 is not None, smi
+        c2 = canonical_smiles(c1)
+        assert c1 == c2, f"not idempotent: {smi} -> {c1} -> {c2}"
+
+
+def test_canonical_unifies_random_orderings():
+    rng = random.Random(0)
+    for smi in ["CC(=O)Nc1ccc(O)cc1", "c1ccc2ccccc2c1",
+                "CC(=O)Oc1ccccc1C(=O)O", "O=S(=O)(N)c1ccccc1"]:
+        base = canonical_smiles(smi)
+        for _ in range(8):
+            r = randomize_smiles(smi, rng)
+            assert r is not None
+            assert is_valid_smiles(r), f"randomized invalid: {r} from {smi}"
+            assert canonical_smiles(r) == base, (smi, r)
+
+
+def test_kekule_and_aromatic_unify():
+    assert canonical_smiles("C1=CC=CC=C1") is not None
+    # NOTE: full aromaticity *perception* (kekule input -> aromatic
+    # canonical form) lands with the descriptor layer; for now both
+    # forms are valid but may canonicalize differently.
+
+
+def test_murcko_scaffold():
+    assert murcko_scaffold("CCO") == ""                    # acyclic
+    assert murcko_scaffold("CCc1ccccc1") == murcko_scaffold("Cc1ccccc1")
+    assert murcko_scaffold("c1ccccc1") == canonical_smiles("c1ccccc1")
+    # acetophenone: side-chain carbonyl removed entirely
+    assert murcko_scaffold("CC(=O)c1ccccc1") == canonical_smiles("c1ccccc1")
+    # cyclohexanone keeps the ring =O
+    sca = murcko_scaffold("O=C1CCCCC1")
+    assert sca == canonical_smiles("O=C1CCCCC1")
+    # N-methylpyrrole -> pyrrole ([nH] restored)
+    assert murcko_scaffold("Cn1cccc1") == canonical_smiles("c1cc[nH]c1")
+    # biphenyl keeps the inter-ring bond
+    assert murcko_scaffold("Cc1ccc(-c2ccccc2)cc1") == \
+        canonical_smiles("c1ccc(-c2ccccc2)cc1")
+
+
+def test_fingerprints_and_tanimoto():
+    assert tanimoto_similarity("CCO", "CCO") == 1.0
+    s = tanimoto_similarity("CCO", "CCN")
+    assert s is not None and 0.0 < s < 1.0
+    assert tanimoto_similarity("CCO", "not_a_smiles") is None
+    # bulk path equals pairwise
+    smis = ["CCO", "CCN", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1"]
+    fps = np.stack([smiles_to_morgan(s) for s in smis])
+    M = bulk_tanimoto_matrix(fps, fps)
+    assert np.allclose(np.diag(M), 1.0)
+    assert np.isclose(M[0, 1], tanimoto_similarity("CCO", "CCN"), atol=1e-6)

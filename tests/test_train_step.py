@@ -1,0 +1,134 @@
+"""Train-step tests: loss parity vs the reference formula, LR schedule
+parity, and a sharded multi-device train step on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gctplus_tpu.models import Cvaetf, ModelConfig, Vaetf
+from gctplus_tpu.models.registry import init_params
+from gctplus_tpu.parallel import make_mesh, shard_params
+from gctplus_tpu.train import (
+    TrainState,
+    elbo_loss,
+    kl_annealing_beta,
+    make_optimizer,
+    make_train_step,
+    noam_schedule,
+)
+
+
+def test_elbo_matches_torch_formula():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    bs, L, V, lat = 4, 10, 12, 6
+    logits = rng.normal(size=(bs, L, V)).astype(np.float32)
+    labels = rng.integers(0, V, (bs, L))
+    labels[2, -3:] = 1  # pad
+    mu = rng.normal(size=(bs, 7, lat)).astype(np.float32)
+    log_var = rng.normal(size=(bs, 7, lat)).astype(np.float32)
+    beta = 0.37
+
+    rce_t = F.cross_entropy(
+        torch.from_numpy(logits).reshape(-1, V),
+        torch.from_numpy(labels).reshape(-1),
+        ignore_index=1, reduction="sum").item()
+    kld_t = (-0.5 * torch.sum(
+        1 + torch.from_numpy(log_var) - torch.from_numpy(mu).pow(2)
+        - torch.from_numpy(log_var).exp())).item()
+
+    loss, aux = elbo_loss(jnp.asarray(logits), jnp.asarray(labels),
+                          jnp.asarray(mu), jnp.asarray(log_var), beta, pad_id=1)
+    assert np.isclose(float(aux["RCE"]), rce_t, rtol=1e-5)
+    assert np.isclose(float(aux["KLD"]), kld_t, rtol=1e-5)
+    assert np.isclose(float(loss), rce_t + beta * kld_t, rtol=1e-5)
+
+
+def test_noam_schedule_parity():
+    # reference formula at trainer1.py:117-123 with 1-based steps
+    d_model, warmup = 512, 8000
+    sched = noam_schedule(d_model, warmup)
+    for optax_count in [0, 10, 7999, 8000, 20000]:
+        step = optax_count + 1
+        ref = (d_model ** -0.5) * min(step ** -0.5, step * warmup ** -1.5)
+        assert np.isclose(float(sched(optax_count)), ref, rtol=1e-6)
+
+
+def test_kl_annealer_parity():
+    # beta = ini + inc*((epoch+1)-beg), gated, capped (trainer1.py:14-16,171-176)
+    beta = 0.0
+    betas = []
+    for epoch in range(1, 8):
+        beta = kl_annealing_beta(epoch, beta, True, 0.02, 0.02, 1, 0.08)
+        betas.append(round(beta, 4))
+    # epoch1: 0.02+0.02*1=0.04 ... caps once beta >= max
+    assert betas[0] == 0.04 and betas[1] == 0.06 and betas[2] == 0.08
+    assert betas[3] == 0.08  # frozen after reaching cap
+
+
+def _tiny_setup(variant="pvaetf"):
+    if variant == "vaetf":
+        cfg = ModelConfig(src_vocab=20, trg_vocab=20, N=1, d_model=32,
+                          d_ff=64, heads=4, latent_dim=8, dropout=0.1, nconds=0)
+        model = Vaetf(cfg)
+    else:
+        cfg = ModelConfig(src_vocab=20, trg_vocab=20, N=1, d_model=32,
+                          d_ff=64, heads=4, latent_dim=8, dropout=0.1,
+                          nconds=3, use_cond2lat=True)
+        model = Cvaetf(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    return model, cfg, params
+
+
+def _tiny_batch(cfg, bs=8, Ls=10, Lt=12, seed=0):
+    rng = np.random.default_rng(seed)
+    batch = {
+        "src": jnp.asarray(rng.integers(4, cfg.src_vocab, (bs, Ls))),
+        "trg": jnp.asarray(rng.integers(4, cfg.trg_vocab, (bs, Lt))),
+    }
+    if cfg.nconds > 0:
+        conds = jnp.asarray(rng.normal(size=(bs, cfg.nconds)), jnp.float32)
+        batch["econds"] = conds
+        batch["dconds"] = conds
+    return batch
+
+
+def test_train_step_reduces_loss():
+    model, cfg, params = _tiny_setup("vaetf")
+    tx, sched = make_optimizer(cfg.d_model, warmup_steps=10)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, pad_id=1, use_cond2dec=False,
+                           lr_schedule=sched, donate=False)
+    batch = _tiny_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, aux = step(state, batch, 0.1, sub)
+        losses.append(float(aux["LOSS"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_train_step_sharded_over_mesh():
+    assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
+    mesh = make_mesh(n_data=4, n_model=2)
+    model, cfg, params = _tiny_setup("pvaetf")
+    params = shard_params(params, mesh)
+    tx, sched = make_optimizer(cfg.d_model, warmup_steps=10)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, pad_id=1, use_cond2dec=False,
+                           lr_schedule=sched, donate=False)
+    batch = _tiny_batch(cfg, bs=8)
+    bsh = NamedSharding(mesh, P("data"))
+    batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    state, aux = step(state, batch, 0.05, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["LOSS"]))
+    # params must remain replicated-over-data after the update
+    state2, aux2 = step(state, batch, 0.05, jax.random.PRNGKey(2))
+    assert float(aux2["LOSS"]) < float(aux["LOSS"]) * 1.5
