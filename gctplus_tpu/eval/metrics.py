@@ -1,0 +1,168 @@
+"""Generation-quality metrics (MOSES get_all_metrics subset, in-repo).
+
+The reference's oracle is moses.get_all_metrics
+(Inference/uc_sampling.py:26-39) plus thin wrappers
+(Inference/metrics.py:8-61, Utils/metric.py:5-47) and bespoke
+scaffold metrics SSF/sim80 (Inference/sca_sampling.py:221-232).
+Re-implemented on the in-repo chemistry substrate; the O(n^2)
+fingerprint reductions (IntDiv, SNN) ride the MXU via
+bulk_tanimoto_matrix.
+
+Not implemented: FCD (needs the pretrained ChemNet weights — a data
+artifact, not code) and Frag/Scaf cosine vs MOSES's fragment BRICS
+decomposition (BRICS rule table); scaffold-set overlap `Scaf` is
+approximated with Murcko scaffolds.
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ProcessPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gctplus_tpu.chem.canonical import canonical_smiles
+from gctplus_tpu.chem.fingerprints import bulk_tanimoto_matrix, smiles_to_morgan
+from gctplus_tpu.chem.scaffold import murcko_scaffold, murcko_scaffold_similarity
+from gctplus_tpu.chem.mapper import pmap
+
+
+def canonicalize_all(smiles: Sequence[str], n_jobs: int = 1) -> List[Optional[str]]:
+    return pmap(canonical_smiles, smiles, n_jobs)
+
+
+def fraction_valid(smiles: Sequence[str], n_jobs: int = 1) -> float:
+    if len(smiles) == 0:
+        return 0.0
+    canon = canonicalize_all(smiles, n_jobs)
+    return sum(c is not None for c in canon) / len(smiles)
+
+
+def fraction_unique(smiles: Sequence[str], k: Optional[int] = None,
+                    n_jobs: int = 1) -> float:
+    """unique@k over VALID canonical forms (moses semantics)."""
+    if k is not None:
+        smiles = smiles[:k]
+    canon = [c for c in canonicalize_all(smiles, n_jobs) if c is not None]
+    if not canon:
+        return 0.0
+    return len(set(canon)) / len(canon)
+
+
+def novelty(smiles: Sequence[str], train_set: Sequence[str],
+            n_jobs: int = 1, train_is_canonical: bool = True) -> float:
+    canon = [c for c in canonicalize_all(smiles, n_jobs) if c is not None]
+    if not canon:
+        return 0.0
+    if train_is_canonical:
+        train = set(train_set)
+    else:
+        train = set(c for c in canonicalize_all(train_set, n_jobs) if c)
+    return sum(c not in train for c in canon) / len(canon)
+
+
+def _fps(smiles: Sequence[str], n_jobs: int = 1) -> np.ndarray:
+    fps = pmap(smiles_to_morgan, smiles, n_jobs)
+    fps = [f for f in fps if f is not None]
+    if not fps:
+        return np.zeros((0, 1024), np.uint8)
+    return np.stack(fps)
+
+
+def internal_diversity(smiles: Sequence[str], n_jobs: int = 1, p: int = 1,
+                       block: int = 4096) -> float:
+    """IntDiv_p = 1 - mean(T^p) over all pairs incl. self (moses)."""
+    fps = _fps(smiles, n_jobs)
+    n = len(fps)
+    if n == 0:
+        return 0.0
+    acc = 0.0
+    for i in range(0, n, block):
+        a = fps[i: i + block]
+        sims = bulk_tanimoto_matrix(a, fps)
+        acc += float((sims ** p).sum())
+    return 1.0 - (acc / (n * n)) ** (1.0 / p)
+
+
+def snn(gen: Sequence[str], ref: Sequence[str], n_jobs: int = 1,
+        block: int = 4096) -> float:
+    """Average nearest-neighbor Tanimoto of gen against ref."""
+    g, r = _fps(gen, n_jobs), _fps(ref, n_jobs)
+    if len(g) == 0 or len(r) == 0:
+        return 0.0
+    best = np.zeros(len(g))
+    for j in range(0, len(r), block):
+        sims = bulk_tanimoto_matrix(g, r[j: j + block])
+        best = np.maximum(best, sims.max(axis=1))
+    return float(best.mean())
+
+
+def scaffold_set(smiles: Sequence[str], n_jobs: int = 1) -> set:
+    scas = pmap(murcko_scaffold, smiles, n_jobs)
+    return set(s for s in scas if s)
+
+
+def scaf_overlap(gen: Sequence[str], ref: Sequence[str], n_jobs: int = 1) -> float:
+    """Fraction of gen molecules whose scaffold appears in ref
+    (approximation of moses' cosine Scaf metric)."""
+    ref_scas = scaffold_set(ref, n_jobs)
+    scas = [s for s in pmap(murcko_scaffold, gen, n_jobs) if s is not None]
+    if not scas:
+        return 0.0
+    return sum(s in ref_scas for s in scas) / len(scas)
+
+
+def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
+                     n_jobs: int = 1) -> Dict[str, float]:
+    """SSF (scaffold-similarity == 1 fraction) and sim80
+    (Inference/sca_sampling.py:221-232), over valid molecules."""
+    valid = [s for s in canonicalize_all(gen, n_jobs) if s is not None]
+    if not valid:
+        return {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0}
+    sims = pmap(lambda s: murcko_scaffold_similarity(s, target_scaffold), valid,
+                n_jobs)
+    sims = [s for s in sims if s is not None]
+    if not sims:
+        return {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0}
+    sims = np.asarray(sims)
+    return {
+        "SSF": float((sims >= 1.0).mean()),
+        "sim80": float((sims >= 0.8).mean()),
+        "avg_scaffold_sim": float(sims.mean()),
+    }
+
+
+def property_error_stats(gen_props: np.ndarray, target: np.ndarray,
+                         names: Sequence[str]) -> Dict[str, float]:
+    """Per-property MSE/MAE/SD vs targets (Inference/p_sampling.py:251-266)."""
+    out: Dict[str, float] = {}
+    err = np.asarray(gen_props, float) - np.asarray(target, float)
+    for j, name in enumerate(names):
+        e = err[:, j]
+        e = e[np.isfinite(e)]
+        out[f"{name}_MSE"] = float(np.mean(e ** 2)) if len(e) else float("nan")
+        out[f"{name}_MAE"] = float(np.mean(np.abs(e))) if len(e) else float("nan")
+        out[f"{name}_SD"] = float(np.std(e)) if len(e) else float("nan")
+    return out
+
+
+def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
+                    test: Optional[Sequence[str]] = None,
+                    k: Sequence[int] = (1000, 10000),
+                    n_jobs: int = 1) -> Dict[str, float]:
+    """The moses.get_all_metrics-shaped report used by uc_sampling."""
+    out: Dict[str, float] = {}
+    out["valid"] = fraction_valid(gen, n_jobs)
+    for kk in k:
+        if len(gen) >= kk:
+            out[f"unique@{kk}"] = fraction_unique(gen, kk, n_jobs)
+    out["unique"] = fraction_unique(gen, None, n_jobs)
+    out["IntDiv"] = internal_diversity(gen, n_jobs, p=1)
+    out["IntDiv2"] = internal_diversity(gen, n_jobs, p=2)
+    if train is not None:
+        out["novelty"] = novelty(gen, train, n_jobs)
+    if test is not None:
+        out["SNN/Test"] = snn(gen, test, n_jobs)
+        out["Scaf/Test"] = scaf_overlap(gen, test, n_jobs)
+    return out

@@ -36,10 +36,12 @@ def build_model(model_type: str, src_vocab: int, trg_vocab: int,
     return cls(cfg), cfg
 
 
-def init_params(model, cfg: ModelConfig, rng: jax.Array, trg_len: int = 8,
-                src_len: int = 8):
+def init_params(model, cfg: ModelConfig, rng: jax.Array = None,
+                trg_len: int = 8, src_len: int = 8):
     """Initialize parameters with tiny dummy shapes (shapes don't matter:
     all parameters are shape-static in seq-len)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     src = jnp.zeros((1, src_len), jnp.int32)
     trg = jnp.zeros((1, trg_len), jnp.int32)
     src_mask = jnp.ones((1, 1, src_len + cfg.nconds), bool)
