@@ -1,0 +1,101 @@
+"""Configuration (reference Configuration/config.py + config_default.py).
+
+Same knob names as the reference CLI for familiarity; organized as
+argparse option groups + a static-defaults module.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+# --- static defaults (Configuration/config_default.py:1-20) -----------
+MAX_STRLEN = 80
+
+PROP_TOLERANCES = {"logP": 0.4, "tPSA": 8.0, "QED": 0.04}
+
+# 27-combination target property grid (config_default.py:7-12)
+TARGET_PROPS = {
+    "logP": [1.0, 2.0, 3.0],
+    "tPSA": [30.0, 60.0, 90.0],
+    "QED": [0.6, 0.725, 0.85],
+}
+
+MOSES_PROP_BOUNDS = {  # Configuration/config.py:77-81
+    "logP": [0.03, 4.97],
+    "tPSA": [17.92, 112.83],
+    "QED": [0.58, 0.95],
+}
+
+
+def target_prop_combinations():
+    out = []
+    for lp in TARGET_PROPS["logP"]:
+        for tp in TARGET_PROPS["tPSA"]:
+            for qd in TARGET_PROPS["QED"]:
+                out.append((lp, tp, qd))
+    return out
+
+
+# --- argparse groups (Configuration/config.py:1-65) --------------------
+
+def model_opts(parser: argparse.ArgumentParser):
+    parser.add_argument("-N", type=int, default=6)
+    parser.add_argument("-H", type=int, default=8)
+    parser.add_argument("-d_ff", type=int, default=2048)
+    parser.add_argument("-d_model", type=int, default=512)
+    parser.add_argument("-latent_dim", type=int, default=128)
+    parser.add_argument("-dropout", type=float, default=0.1)
+    parser.add_argument("-variational", type=bool, default=True)
+    parser.add_argument("-use_cond2dec", action="store_true")
+    parser.add_argument("-use_cond2lat", action="store_true")
+    parser.add_argument("-get_attn", action="store_true")
+
+
+def train_opts(parser: argparse.ArgumentParser):
+    model_opts(parser)
+    parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-start_epoch", type=int, default=1)
+    parser.add_argument("-num_epoch", type=int, default=30)
+    parser.add_argument("-batch_size", type=int, default=128)
+    parser.add_argument("-property_list", nargs="+", default=[])
+    parser.add_argument("-model_type", type=str, required=True)
+    parser.add_argument("-model_folder", type=str, required=True)
+    parser.add_argument("-use_scaffold", action="store_true")
+    parser.add_argument("-randomize_prob", type=float, default=0.0)
+    parser.add_argument("-prepared_folder", type=str, default="./Data/prepared")
+    parser.add_argument("-util_folder", type=str, default="./Data/utils")
+    parser.add_argument("-debug", action="store_true")
+    # KL annealing
+    parser.add_argument("-use_KLA", type=bool, default=True)
+    parser.add_argument("-KLA_ini_beta", type=float, default=0.02)
+    parser.add_argument("-KLA_inc_beta", type=float, default=0.02)
+    parser.add_argument("-KLA_max_beta", type=float, default=1.0)
+    parser.add_argument("-KLA_beg_epoch", type=int, default=1)
+    # LR schedule
+    parser.add_argument("-lr_scheduler", type=str, default="WarmUpDefault")
+    parser.add_argument("-lr_WarmUpSteps", type=int, default=8000)
+    parser.add_argument("-lr", type=float, default=1e-4)
+    parser.add_argument("-lr_beta1", type=float, default=0.9)
+    parser.add_argument("-lr_beta2", type=float, default=0.98)
+    parser.add_argument("-lr_eps", type=float, default=1e-9)
+    # TPU-native knobs (no reference counterpart)
+    parser.add_argument("-n_data_shards", type=int, default=None,
+                        help="data-parallel mesh size (default: all devices)")
+    parser.add_argument("-n_model_shards", type=int, default=1)
+    parser.add_argument("-compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+
+
+def preprocess_opts(parser: argparse.ArgumentParser):
+    parser.add_argument("-save_folder", type=str, default="./Data/")
+    parser.add_argument("-property_list", nargs="+",
+                        default=["logP", "tPSA", "QED", "SAS"])
+    parser.add_argument("-scaled_properties", nargs="+",
+                        default=["logP", "tPSA", "QED"])
+    parser.add_argument("-n_jobs", type=int, default=8)
+    parser.add_argument("-n_synthetic", type=int, default=2000)
+    parser.add_argument("-train_csv", type=str, default=None,
+                        help="CSV with a 'smiles' column (offline MOSES drop-in)")
+    parser.add_argument("-test_csv", type=str, default=None)
+    parser.add_argument("-test_scaffolds_csv", type=str, default=None)
+    parser.add_argument("-debug", action="store_true")

@@ -96,7 +96,8 @@ class BatchLoader:
     def __init__(self, dataset: SmilesDataset, batch_size: int,
                  use_scaffold: bool = False, shuffle: bool = True,
                  seed: int = 0, rank: int = 0, world_size: int = 1,
-                 bucket: int = 8, drop_last: bool = False):
+                 bucket: int = 8, drop_last: bool = False,
+                 pad_to_multiple: int = 1, length_bucketing: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.use_scaffold = use_scaffold
@@ -107,6 +108,12 @@ class BatchLoader:
         self.world_size = world_size
         self.bucket = bucket
         self.drop_last = drop_last
+        # pad partial batches by cycling rows so the batch axis stays
+        # divisible by the data-mesh size (slight metric skew on the
+        # final eval batch; training uses drop_last instead)
+        self.pad_to_multiple = pad_to_multiple
+        self.length_bucketing = length_bucketing
+        self._lengths = None  # lazy, for length bucketing
 
     def set_epoch(self, epoch: int):
         """DistributedSampler.set_epoch analog (train1 epoch reshuffle)."""
@@ -119,6 +126,40 @@ class BatchLoader:
             rng.shuffle(idx)
         return idx[self.rank:: self.world_size]
 
+    def _token_lengths(self) -> np.ndarray:
+        if self._lengths is None:
+            try:
+                from gctplus_tpu.native import count_tokens, native_available
+                if native_available():
+                    self._lengths = count_tokens(self.ds.smiles)
+                else:
+                    raise RuntimeError
+            except Exception:
+                tok = self.ds.tokenizer
+                self._lengths = np.asarray(
+                    [len(tok(s)) for s in self.ds.smiles], np.int32)
+        return self._lengths
+
+    def bucketed_indices(self) -> np.ndarray:
+        """Similar-length batching (reference MyIterator pool-of-100
+        shuffle, train.py:35-97 / README.md:101): shuffle, sort by
+        token length within pools of 100 batches, then shuffle batch
+        order. Cuts padding waste AND recompilation (fewer length
+        buckets per batch)."""
+        idx = self._indices()
+        lens = self._token_lengths()
+        rng = np.random.default_rng(self.seed * 31 + self.epoch)
+        pool = 100 * self.batch_size
+        out = []
+        for s in range(0, len(idx), pool):
+            chunk = idx[s: s + pool]
+            chunk = chunk[np.argsort(lens[chunk], kind="stable")]
+            batches = [chunk[b: b + self.batch_size]
+                       for b in range(0, len(chunk), self.batch_size)]
+            rng.shuffle(batches)
+            out.extend(batches)
+        return np.concatenate(out) if out else idx
+
     def __len__(self) -> int:
         n = len(self._indices())
         if self.drop_last:
@@ -126,12 +167,17 @@ class BatchLoader:
         return math.ceil(n / self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        idx = self._indices()
+        idx = self.bucketed_indices() if self.length_bucketing \
+            else self._indices()
         sv, tv = self.ds.src_vocab, self.ds.trg_vocab
         for start in range(0, len(idx), self.batch_size):
             rows = [self.ds[i] for i in idx[start: start + self.batch_size]]
             if self.drop_last and len(rows) < self.batch_size:
                 break
+            m = self.pad_to_multiple
+            if m > 1 and len(rows) % m:
+                need = m - len(rows) % m
+                rows = rows + [rows[k % len(rows)] for k in range(need)]
             if self.use_scaffold:
                 src_tok = [r["src_scaffold"] + ["<sep>"] + r["src"] for r in rows]
                 trg_tok = [r["trg_scaffold"] + ["<sep>"] + r["trg"] for r in rows]

@@ -338,6 +338,20 @@ class _BaseVAE(nn.Module):
             output_mol = output
         return output_prop, output_mol, mu, log_var, z
 
+    def attention_maps(self, src, trg, src_mask, trg_mask, econds=None,
+                       dconds=None):
+        """Per-layer attention weights for visualization (reference
+        get_attention_map, sampling_tool.py:191-223: decodes from mu).
+        Returns (encoder_attns, decoder_self_attns, decoder_cross_attns),
+        each a list of (bs, heads, Lq, Lk) arrays."""
+        out, enc_attns = self.encoder(src, src_mask, econds,
+                                      deterministic=True, return_attn=True)
+        mu, _ = self._latent_heads(out)
+        _, self_attns, cross_attns = self.decoder(
+            trg, mu, src_mask, trg_mask, dconds, deterministic=True,
+            return_attn=True)
+        return enc_attns, self_attns, cross_attns
+
     # --- incremental decode wrappers (used via nn.apply(method=...)) ---
     def prepare_memory(self, z, src_mask, dconds=None):
         return self.decoder.prepare_memory(z, src_mask, dconds)

@@ -36,6 +36,41 @@ def build_model(model_type: str, src_vocab: int, trg_vocab: int,
     return cls(cfg), cfg
 
 
+def transfer_params(trained: dict, target: dict, log=None) -> dict:
+    """Copy overlapping parameters from a trained tree into a target
+    tree (reference transfer_params, Model/build_model.py:17-25);
+    mismatched/missing leaves keep the target's values."""
+    import numpy as np
+
+    def _merge(t, s):
+        if isinstance(t, dict):
+            return {k: _merge(v, s.get(k)) if isinstance(s, dict) else v
+                    for k, v in t.items()}
+        if s is None or getattr(s, "shape", None) != getattr(t, "shape", None):
+            if log:
+                log.warning("transfer_params: keeping target leaf (shape "
+                            f"{getattr(t, 'shape', '?')})")
+            return t
+        return jnp.asarray(np.asarray(s))
+
+    return _merge(target, trained)
+
+
+def freeze_mask(params: dict, train_names=None, freeze_names=None) -> dict:
+    """Boolean mask tree for optax.masked: True = trainable (reference
+    freeze_params, Model/build_model.py:28-39, keyed on the top-level
+    module name: 'encoder', 'decoder', 'sampler', 'out', ...)."""
+    def top_trainable(top: str) -> bool:
+        if train_names is not None:
+            return top in train_names
+        if freeze_names is not None:
+            return top not in freeze_names
+        return True
+
+    return {top: jax.tree_util.tree_map(lambda _: top_trainable(top), sub)
+            for top, sub in params.items()}
+
+
 def init_params(model, cfg: ModelConfig, rng: jax.Array = None,
                 trg_len: int = 8, src_len: int = 8):
     """Initialize parameters with tiny dummy shapes (shapes don't matter:

@@ -1,0 +1,124 @@
+"""ctypes bindings for the native tokenizer/encoder.
+
+Builds libgcttok.so on first use (g++ -O3 -shared); falls back to the
+pure-Python tokenizer transparently when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "tokenizer.cpp")
+_SO = os.path.join(_HERE, "libgcttok.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     _SRC, "-o", _SO],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.gct_vocab_new.restype = ctypes.c_void_p
+        lib.gct_vocab_new.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.gct_vocab_free.argtypes = [ctypes.c_void_p]
+        lib.gct_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.gct_count_tokens.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeEncoder:
+    """Vocab-bound batch encoder. Mirrors
+    Vocab.encode + pad_batch + sos/eos handling in one native call."""
+
+    def __init__(self, vocab):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native tokenizer unavailable")
+        self._lib = lib
+        self._itos = list(vocab.itos)
+        arr = (ctypes.c_char_p * len(self._itos))(
+            *[t.encode() for t in self._itos])
+        sep = vocab.sep_id if vocab.sep_id is not None else -1
+        self._handle = lib.gct_vocab_new(arr, len(self._itos),
+                                         vocab.stoi.get("<unk>", 0), sep)
+        self.pad_id = vocab.pad_id
+        self.sos_id = vocab.sos_id
+        self.eos_id = vocab.eos_id
+
+    def __del__(self):
+        try:
+            self._lib.gct_vocab_free(self._handle)
+        except Exception:
+            pass
+
+    def encode_batch(self, smiles: Sequence[str], max_len: int,
+                     add_sos: bool = False, add_eos: bool = False,
+                     handle_sep: bool = True
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(smiles)
+        out = np.full((n, max_len), self.pad_id, np.int32)
+        lengths = np.zeros(n, np.int32)
+        arr = (ctypes.c_char_p * n)(*[s.encode() for s in smiles])
+        self._lib.gct_encode_batch(
+            self._handle, arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_len,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.sos_id if add_sos and self.sos_id is not None else -1,
+            self.eos_id if add_eos and self.eos_id is not None else -1,
+            1 if handle_sep else 0)
+        return out, lengths
+
+
+def count_tokens(smiles: Sequence[str], handle_sep: bool = False
+                 ) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from gctplus_tpu.chem.tokenizer import SmilesTokenizer
+        tok = SmilesTokenizer(add_sep=handle_sep)
+        return np.asarray([len(tok(s)) for s in smiles], np.int32)
+    n = len(smiles)
+    counts = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[s.encode() for s in smiles])
+    lib.gct_count_tokens(
+        arr, n, counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        1 if handle_sep else 0)
+    return counts

@@ -1,0 +1,143 @@
+"""Latent-space molecular interpolation (reference
+Inference/mol_interpolation.py:110-374).
+
+Pipeline: sample constrained molecular pairs (Tanimoto < threshold,
+optional same-scaffold, :32-85) -> encode both to (mu, logvar) ->
+for each alpha: slerp both (:18-29,216-217) -> decode with a growing-
+noise retry loop until a valid molecule appears (:213-259) ->
+smoothness metrics smooth_start / smooth_prev (:143-151)."""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from gctplus_tpu.chem.fingerprints import tanimoto_similarity
+from gctplus_tpu.chem.sanitize import is_valid_smiles
+from gctplus_tpu.chem.scaffold import murcko_scaffold
+from gctplus_tpu.tasks.common import build_sampler
+from gctplus_tpu.utils import get_logger
+
+
+def slerp(v0: np.ndarray, v1: np.ndarray, alpha: float) -> np.ndarray:
+    """Spherical interpolation on flattened latents
+    (mol_interpolation.py:18-29)."""
+    f0, f1 = v0.ravel(), v1.ravel()
+    denom = np.linalg.norm(f0) * np.linalg.norm(f1)
+    omega = math.acos(float(np.clip(np.dot(f0, f1) / max(denom, 1e-12),
+                                    -1.0, 1.0)))
+    if abs(math.sin(omega)) < 1e-9:
+        return lerp(v0, v1, alpha)
+    a = math.sin((1 - alpha) * omega) / math.sin(omega)
+    b = math.sin(alpha * omega) / math.sin(omega)
+    return a * v0 + b * v1
+
+
+def lerp(v0: np.ndarray, v1: np.ndarray, alpha: float) -> np.ndarray:
+    return (1 - alpha) * v0 + alpha * v1
+
+
+def sample_molecular_pairs(smiles: Sequence[str], n_pairs: int,
+                           similarity_threshold: float = 0.5,
+                           same_scaffold: bool = False, seed: int = 0,
+                           max_tries: int = 20000
+                           ) -> List[Tuple[str, str]]:
+    """Constrained pair selection (mol_interpolation.py:32-85)."""
+    rng = np.random.default_rng(seed)
+    smiles = [s for s in smiles if isinstance(s, str)]
+    pairs: List[Tuple[str, str]] = []
+    tries = 0
+    while len(pairs) < n_pairs and tries < max_tries:
+        tries += 1
+        i, j = rng.choice(len(smiles), 2, replace=False)
+        s0, s1 = smiles[i], smiles[j]
+        sim = tanimoto_similarity(s0, s1)
+        if sim is None or sim >= similarity_threshold:
+            continue
+        if same_scaffold and murcko_scaffold(s0) != murcko_scaffold(s1):
+            continue
+        pairs.append((s0, s1))
+    return pairs
+
+
+def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
+                     interp_fn=slerp, max_retry: int = 40,
+                     std_step: float = 0.005) -> List[Optional[str]]:
+    """Decode molecules along the latent path; growing-noise retry
+    (mol_interpolation.py:213-259). Returns one SMILES (or None) per
+    alpha in linspace(0,1,n_interp+2)."""
+    # pad both to a common length so mu/logvar shapes line up
+    t0 = sampler.tokenizer(s0)
+    t1 = sampler.tokenizer(s1)
+    L = max(len(t0), len(t1))
+    pad = sampler.src_vocab
+    # encode together with shared padding
+    _, mu, logvar = sampler.encode_smiles([s0, s1])
+    mu0, mu1 = mu[0], mu[1]
+    lv0, lv1 = logvar[0], logvar[1]
+
+    out: List[Optional[str]] = []
+    rng = sampler.rng
+    for alpha in np.linspace(0.0, 1.0, n_interp + 2):
+        mu_a = interp_fn(mu0, mu1, float(alpha))
+        lv_a = interp_fn(lv0, lv1, float(alpha))
+        smi, std = None, 0.0
+        for attempt in range(max_retry):
+            eps = rng.standard_normal(mu_a.shape) * std
+            z = (mu_a + eps * np.exp(0.5 * lv_a))[None]
+            cand = sampler.decode_z(z, toklen=np.array([L]))[0]
+            if cand and is_valid_smiles(cand):
+                smi = cand
+                break
+            if attempt % 2 == 1:
+                std += std_step  # grow noise every 2 tries (:245-250)
+            if std >= 1.0:
+                break
+        out.append(smi)
+    return out
+
+
+def smoothness_metrics(path_smiles: List[Optional[str]]) -> dict:
+    """smooth_start / smooth_prev (mol_interpolation.py:143-151)."""
+    valid = [s for s in path_smiles if s]
+    if len(valid) < 2:
+        return {"smooth_start": 0.0, "smooth_prev": 0.0,
+                "frac_decoded": len(valid) / max(1, len(path_smiles))}
+    start = valid[0]
+    sims_start = [tanimoto_similarity(start, s) or 0.0 for s in valid[1:]]
+    sims_prev = [tanimoto_similarity(a, b) or 0.0
+                 for a, b in zip(valid, valid[1:])]
+    return {"smooth_start": float(np.mean(sims_start)),
+            "smooth_prev": float(np.mean(sims_prev)),
+            "frac_decoded": len(valid) / len(path_smiles)}
+
+
+def mol_interpolation(args, smiles_source: Sequence[str], log=None
+                      ) -> pd.DataFrame:
+    save_folder = os.path.join(args.save_folder, "mol_interpolation")
+    os.makedirs(save_folder, exist_ok=True)
+    log = log or get_logger("mol_interpolation",
+                            os.path.join(save_folder, "record.log"))
+    sampler = build_sampler(args, log)
+    pairs = sample_molecular_pairs(
+        smiles_source, args.n_pairs,
+        similarity_threshold=getattr(args, "similarity_threshold", 0.5),
+        same_scaffold=getattr(args, "same_scaffold", False), seed=args.seed)
+
+    rows = []
+    for k, (s0, s1) in enumerate(pairs):
+        path = interpolate_pair(sampler, s0, s1,
+                                n_interp=getattr(args, "n_interpolations", 8))
+        m = smoothness_metrics(path)
+        m.update({"pair": k, "src": s0, "dst": s1,
+                  "path": "|".join(s or "" for s in path)})
+        rows.append(m)
+        log.info(f"pair {k}: smooth_start={m['smooth_start']:.3f} "
+                 f"smooth_prev={m['smooth_prev']:.3f}")
+    out = pd.DataFrame(rows)
+    out.to_csv(os.path.join(save_folder, "metric.csv"), index=False)
+    return out

@@ -1,0 +1,87 @@
+"""Property-conditioned sampling task (reference Inference/p_sampling.py).
+
+For each of the 27 target (logP, tPSA, QED) combinations
+(config_default.py:7-12): sample n molecules, compute
+valid/unique/novel/intDiv, per-property MSE/MAE/SD and the
+in-tolerance success rates (p_sampling.py:157-318)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from gctplus_tpu.chem.descriptors import PROPERTY_FN
+from gctplus_tpu.chem.mapper import pmap
+from gctplus_tpu.chem.sanitize import mol_from_smiles
+from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
+from gctplus_tpu.eval.metrics import (
+    fraction_unique,
+    fraction_valid,
+    internal_diversity,
+    novelty,
+    property_error_stats,
+)
+from gctplus_tpu.tasks.common import build_sampler
+from gctplus_tpu.utils import get_logger
+
+
+def p_sampling(args, train=None, log=None) -> pd.DataFrame:
+    save_folder = os.path.join(args.save_folder, "p_sampling")
+    os.makedirs(save_folder, exist_ok=True)
+    log = log or get_logger("p_sampling",
+                            os.path.join(save_folder, "record.log"))
+    props = list(args.property_list) or ["logP", "tPSA", "QED"]
+    sampler = build_sampler(args, log)
+
+    rows = []
+    for combo in target_prop_combinations():
+        tag = "_".join(f"{v:g}" for v in combo)
+        gen_path = os.path.join(save_folder, f"gen_{tag}.csv")
+        if os.path.exists(gen_path):
+            gen = pd.read_csv(gen_path)
+        else:
+            targets = np.tile(np.asarray(combo, np.float32),
+                              (args.n_samples, 1))
+            smiles, _ = sampler.sample_smiles(targets)
+            gen = pd.DataFrame({"smiles": smiles})
+            gen.to_csv(gen_path, index=False)
+            log.info(f"combo {combo}: sampled {len(gen)}")
+
+        smiles = gen["smiles"].tolist()
+        valid = fraction_valid(smiles, args.n_jobs)
+        row = {
+            "logP": combo[0], "tPSA": combo[1], "QED": combo[2],
+            "valid": valid,
+            "unique": fraction_unique(smiles, None, args.n_jobs),
+            "intDiv": internal_diversity(smiles, args.n_jobs),
+        }
+        if train is not None:
+            row["novel"] = novelty(smiles, train, args.n_jobs)
+
+        # property errors over valid molecules
+        def prow(smi):
+            mol = mol_from_smiles(smi)
+            if mol is None:
+                return None
+            return [PROPERTY_FN[p](mol) for p in props]
+
+        vals = [v for v in pmap(prow, smiles, args.n_jobs) if v is not None]
+        if vals:
+            vals = np.asarray(vals)
+            row.update(property_error_stats(
+                vals, np.asarray(combo)[None, :], props))
+            in_tol = np.ones(len(vals), bool)
+            for j, p in enumerate(props):
+                in_tol &= np.abs(vals[:, j] - combo[j]) <= PROP_TOLERANCES.get(
+                    p, np.inf)
+            row["valid_in_tolerance"] = float(in_tol.mean()) * valid
+            row["unique_in_tolerance"] = row["valid_in_tolerance"] * row["unique"]
+        rows.append(row)
+
+    out = pd.DataFrame(rows)
+    out.to_csv(os.path.join(save_folder, "metric.csv"), index=False)
+    log.info(f"mean valid: {out['valid'].mean():.4f}")
+    return out

@@ -1,0 +1,73 @@
+"""Scaffold-conditioned sampling task (reference Inference/sca_sampling.py).
+
+Sample n molecules per scaffold (scaffolds drawn from the train set or
+test_scaffolds source, deduplicated, sca_sampling.py:20-31); metrics
+include SSF (scaffold-similarity == 1 fraction) and sim80
+(sca_sampling.py:221-232)."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from gctplus_tpu.eval.metrics import (
+    fraction_unique,
+    fraction_valid,
+    internal_diversity,
+    novelty,
+    scaffold_metrics,
+)
+from gctplus_tpu.tasks.common import build_sampler
+from gctplus_tpu.utils import get_logger
+
+
+def select_scaffolds(scaffold_source: Sequence[str], n_scaffolds: int,
+                     seed: int = 0) -> List[str]:
+    """Dedup + frequency-weighted sample (sca_sampling.py:20-31)."""
+    counts = Counter(s for s in scaffold_source if isinstance(s, str) and s)
+    uniq = list(counts)
+    rng = np.random.default_rng(seed)
+    if len(uniq) <= n_scaffolds:
+        return uniq
+    idx = rng.choice(len(uniq), n_scaffolds, replace=False)
+    return [uniq[i] for i in idx]
+
+
+def sca_sampling(args, scaffold_source: Sequence[str], train=None,
+                 log=None) -> pd.DataFrame:
+    save_folder = os.path.join(args.save_folder, "sca_sampling")
+    os.makedirs(save_folder, exist_ok=True)
+    log = log or get_logger("sca_sampling",
+                            os.path.join(save_folder, "record.log"))
+    sampler = build_sampler(args, log)
+    scaffolds = select_scaffolds(scaffold_source, args.n_scaffolds,
+                                 args.seed)
+
+    rows = []
+    for si, sca in enumerate(scaffolds):
+        gen_path = os.path.join(save_folder, f"gen_s{si}.csv")
+        if os.path.exists(gen_path):
+            gen = pd.read_csv(gen_path)
+        else:
+            smiles, _ = sampler.sample_smiles(args.n_samples, sca)
+            gen = pd.DataFrame({"smiles": smiles, "scaffold": sca})
+            gen.to_csv(gen_path, index=False)
+        smiles = gen["smiles"].tolist()
+        row = {"scaffold": sca,
+               "valid": fraction_valid(smiles, args.n_jobs),
+               "unique": fraction_unique(smiles, None, args.n_jobs),
+               "intDiv": internal_diversity(smiles, args.n_jobs)}
+        if train is not None:
+            row["novel"] = novelty(smiles, train, args.n_jobs)
+        row.update(scaffold_metrics(smiles, sca, args.n_jobs))
+        rows.append(row)
+        log.info(f"[{si+1}/{len(scaffolds)}] valid={row['valid']:.3f} "
+                 f"SSF={row['SSF']:.3f}")
+
+    out = pd.DataFrame(rows)
+    out.to_csv(os.path.join(save_folder, "metric.csv"), index=False)
+    return out

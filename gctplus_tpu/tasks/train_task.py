@@ -1,0 +1,116 @@
+"""Training task driver (reference train1.py:32-149).
+
+Glues config -> data -> mesh -> epoch loop. One process drives all
+local devices; the batch is sharded over the 'data' mesh axis and XLA
+inserts the gradient all-reduce (the DDP analog).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gctplus_tpu.data.dataset import BatchLoader, SmilesDataset
+from gctplus_tpu.models.registry import build_model, init_params
+from gctplus_tpu.parallel import make_mesh, shard_params
+from gctplus_tpu.tasks.common import load_vocabs
+from gctplus_tpu.train.loop import train_model
+from gctplus_tpu.utils import get_logger, set_seed
+
+
+def _read_prepared(args):
+    suffix = "_sca" if args.use_scaffold else ""
+    train = pd.read_csv(os.path.join(args.prepared_folder,
+                                     f"train{suffix}.csv"))
+    valid = pd.read_csv(os.path.join(args.prepared_folder,
+                                     f"test{suffix}.csv"))
+    if args.debug:  # train1.py:75-78
+        train, valid = train[:128], valid[:128]
+    return train, valid
+
+
+def _make_loader(df, args, src_vocab, trg_vocab, shuffle, n_data=1):
+    props = None
+    if args.property_list:
+        props = df[[f"src_{p}" for p in args.property_list]].to_numpy()
+    scaffolds = df["src_scaffold"].tolist() if args.use_scaffold else None
+    ds = SmilesDataset(df["src"].tolist(), src_vocab, trg_vocab,
+                       properties=props, scaffolds=scaffolds,
+                       randomize_prob=args.randomize_prob, seed=args.seed)
+    return BatchLoader(ds, args.batch_size, use_scaffold=args.use_scaffold,
+                       shuffle=shuffle, seed=args.seed, drop_last=shuffle,
+                       pad_to_multiple=n_data)
+
+
+def train_task(args) -> None:
+    set_seed(args.seed)
+    log = get_logger("train", os.path.join(args.model_folder, "record.log")
+                     if args.model_folder else None)
+
+    n_model = args.n_model_shards
+    n_data = args.n_data_shards or (len(jax.devices()) // n_model)
+
+    src_vocab, trg_vocab = load_vocabs(args.util_folder, args.model_type)
+    train_df, valid_df = _read_prepared(args)
+    train_loader = _make_loader(train_df, args, src_vocab, trg_vocab, True,
+                                n_data)
+    valid_loader = _make_loader(valid_df, args, src_vocab, trg_vocab, False,
+                                n_data)
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model, cfg = build_model(
+        args.model_type, len(src_vocab), len(trg_vocab), N=args.N,
+        d_model=args.d_model, d_ff=args.d_ff, heads=args.H,
+        latent_dim=args.latent_dim, dropout=args.dropout, dtype=dtype,
+        use_cond2dec=args.use_cond2dec)
+    params = init_params(model, cfg, jax.random.PRNGKey(args.seed))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert n_params > 0  # train1.py:107
+    log.info(f"#parameters: {n_params}")
+
+    # mesh + shardings (the DDP analog; SURVEY.md §2.5)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    params = shard_params(params, mesh)
+    bsh = NamedSharding(mesh, P("data"))
+
+    def device_put_fn(batch):
+        return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    hyper = {"N": args.N, "d_model": args.d_model, "d_ff": args.d_ff,
+             "H": args.H, "latent_dim": args.latent_dim,
+             "dropout": args.dropout, "use_cond2dec": args.use_cond2dec,
+             "use_cond2lat": args.use_cond2lat, "variational": True,
+             "nconds": len(args.property_list)}
+
+    train_model(
+        model, cfg, params, train_loader, valid_loader,
+        model_folder=args.model_folder, num_epoch=args.num_epoch,
+        start_epoch=args.start_epoch, pad_id=src_vocab.pad_id,
+        use_cond2dec=args.use_cond2dec, use_KLA=args.use_KLA,
+        KLA_ini_beta=args.KLA_ini_beta, KLA_inc_beta=args.KLA_inc_beta,
+        KLA_beg_epoch=args.KLA_beg_epoch, KLA_max_beta=args.KLA_max_beta,
+        lr_WarmUpSteps=args.lr_WarmUpSteps, lr_beta1=args.lr_beta1,
+        lr_beta2=args.lr_beta2, lr_eps=args.lr_eps, seed=args.seed,
+        log=log, device_put_fn=device_put_fn, hyper=hyper)
+    log.info("training complete")
+
+
+def main(argv=None):
+    import argparse
+    from gctplus_tpu.config import train_opts
+
+    parser = argparse.ArgumentParser("gctplus-train")
+    train_opts(parser)
+    args = parser.parse_args(argv)
+    train_task(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Epoch-level training driver (reference Train/trainer1.py:159-255).
+
+Reproduced behaviors:
+- KL annealing gate per epoch (trainer1.py:171-176),
+- per-epoch reshuffle via loader.set_epoch (DistributedSampler analog),
+- per-batch history {RCE, KLD, LOSS, BETA, LR} -> train_{epoch}.csv /
+  valid_{epoch}.csv,
+- per-epoch checkpoint model_{epoch}.msgpack holding
+  {params, opt_state, model_params hyper dict, step} — the analog of
+  the reference's {model_state_dict, opt_state_dict, model_params}
+  (trainer1.py:33-46),
+- resume from epoch N: reload params+opt state, recompute the LR step
+  counter as (start_epoch-1)*len(train_loader) (train1.py:97-129,
+  trainer1.py:162),
+- decode_check smoke test (teacher-forced sampling validity,
+  trainer1.py:49-68) via the in-repo chemistry validity oracle.
+
+TPU-native deltas: ONE process drives all local devices (SPMD), so the
+reference's per-rank CSVs + rank-0 filesystem merge (trainer1.py:231-252)
+collapse to a single already-global history; dist.barrier() disappears
+(XLA program order).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from gctplus_tpu.train.loss import kl_annealing_beta
+from gctplus_tpu.train.schedule import make_optimizer
+from gctplus_tpu.train.trainer import TrainState, make_eval_step, make_train_step
+
+
+def save_checkpoint(path: str, state: TrainState, hyper: Dict) -> None:
+    blob = {
+        "params": serialization.to_state_dict(state.params),
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "step": int(state.step),
+        "model_params": hyper,
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, blob)))
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _write_history_csv(path: str, history: Dict[str, List[float]]) -> None:
+    keys = list(history.keys())
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([""] + keys)
+        for i in range(len(history[keys[0]])):
+            w.writerow([i] + [history[k][i] for k in keys])
+
+
+def decode_check(logits_mol: np.ndarray, trg_vocab, rng=None, n_rows: int = 8):
+    """Teacher-forced multinomial sampling validity smoke check
+    (trainer1.py:49-68)."""
+    from gctplus_tpu.chem.sanitize import is_valid_smiles
+    from gctplus_tpu.chem.tokenizer import untokenize
+
+    rng = rng or np.random.default_rng(0)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits_mol[:n_rows]), -1))
+    n_valid, out = 0, []
+    for row in probs:
+        ids = [int(rng.choice(len(p), p=p / p.sum())) for p in row]
+        smi = untokenize(ids, trg_vocab.sos_id, trg_vocab.eos_id,
+                         trg_vocab.itos)
+        out.append(smi)
+        n_valid += is_valid_smiles(smi)
+    return n_valid / max(1, len(out)), out
+
+
+def run_epoch(step_fn, state: Optional[TrainState], params, loader, beta,
+              rng, log, train: bool, eval_fn=None, device_put_fn=None):
+    """Hot loop (trainer1.py:71-156). Returns (state, history)."""
+    history: Dict[str, List[float]] = {
+        "RCE": [], "KLD": [], "LOSS": [], "BETA": [], "LR": []}
+    t_start = time.time()
+    for i, batch in enumerate(loader):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if device_put_fn is not None:
+            batch = device_put_fn(batch)
+        rng, sub = jax.random.split(rng)
+        if train:
+            state, aux = step_fn(state, batch, beta, sub)
+        else:
+            aux = eval_fn(params, batch, beta, sub)
+        history["RCE"].append(float(aux["RCE"]))
+        history["KLD"].append(float(aux["KLD"]))
+        history["LOSS"].append(float(aux["LOSS"]))
+        history["BETA"].append(float(beta))
+        history["LR"].append(float(aux.get("LR", 0.0)))
+        if log and (i + 1) % 50 == 0:
+            log.info(
+                f"{i+1}/{len(loader)}\tRCE: {history['RCE'][-1]:.5f}\t"
+                f"KLD: {history['KLD'][-1]:.5f}\t"
+                f"LOSS: {history['LOSS'][-1]:.5f}\t"
+                f"TIME(s): {time.time()-t_start:.1f}")
+    return state, history
+
+
+def train_model(model, cfg, params, train_loader, valid_loader, *,
+                model_folder: str, num_epoch: int = 30, start_epoch: int = 1,
+                pad_id: int = 1, use_cond2dec: bool = False,
+                use_KLA: bool = True, KLA_ini_beta: float = 0.02,
+                KLA_inc_beta: float = 0.02, KLA_beg_epoch: int = 1,
+                KLA_max_beta: float = 1.0, lr_WarmUpSteps: int = 8000,
+                lr_beta1: float = 0.9, lr_beta2: float = 0.98,
+                lr_eps: float = 1e-9, seed: int = 0, log=None,
+                device_put_fn=None, hyper: Optional[Dict] = None):
+    """Full training run; returns the final TrainState."""
+    os.makedirs(model_folder, exist_ok=True)
+    tx, sched = make_optimizer(cfg.d_model, lr_WarmUpSteps,
+                               lr_beta1, lr_beta2, lr_eps)
+    start_step = (start_epoch - 1) * len(train_loader)
+    state = TrainState.create(params, tx, start_step=start_step)
+
+    if start_epoch > 1:
+        ckpt_path = os.path.join(model_folder,
+                                 f"model_{start_epoch-1}.msgpack")
+        if os.path.exists(ckpt_path):
+            blob = load_checkpoint(ckpt_path)
+            state = state.replace(
+                params=serialization.from_state_dict(state.params,
+                                                     blob["params"]),
+                opt_state=serialization.from_state_dict(state.opt_state,
+                                                        blob["opt_state"]))
+            if log:
+                log.info(f"resumed from {ckpt_path}")
+
+    step_fn = make_train_step(model, pad_id, use_cond2dec, sched,
+                              donate=False)
+    eval_fn = make_eval_step(model, pad_id, use_cond2dec)
+    rng = jax.random.PRNGKey(seed)
+
+    beta = 0.0
+    for epoch in range(start_epoch, num_epoch + 1):
+        train_loader.set_epoch(epoch)
+        beta = kl_annealing_beta(epoch, beta, use_KLA, KLA_ini_beta,
+                                 KLA_inc_beta, KLA_beg_epoch, KLA_max_beta)
+        if log:
+            log.info(f"run epoch: {epoch} (beta={beta:.3f})")
+
+        rng, r1, r2 = jax.random.split(rng, 3)
+        state, hist = run_epoch(step_fn, state, None, train_loader, beta,
+                                r1, log, train=True,
+                                device_put_fn=device_put_fn)
+        _write_history_csv(
+            os.path.join(model_folder, f"train_{epoch}.csv"), hist)
+
+        if valid_loader is not None:
+            _, vhist = run_epoch(None, None, state.params, valid_loader,
+                                 beta, r2, log, train=False, eval_fn=eval_fn,
+                                 device_put_fn=device_put_fn)
+            _write_history_csv(
+                os.path.join(model_folder, f"valid_{epoch}.csv"), vhist)
+
+        save_checkpoint(
+            os.path.join(model_folder, f"model_{epoch}.msgpack"),
+            state, hyper or {})
+    return state

@@ -31,13 +31,28 @@ def kl_annealing_beta(epoch: int, prev_beta: float, use_KLA: bool = True,
 
 
 def elbo_loss(logits_mol, trg_labels, mu, log_var, beta, pad_id: int,
-              logits_prop=None, trg_props=None
+              logits_prop=None, trg_props=None, label_smoothing: float = 0.0
               ) -> Tuple[jnp.ndarray, dict]:
-    """Sum-reduced ELBO. logits_mol: (bs, L, V); trg_labels: (bs, L)."""
+    """Sum-reduced ELBO. logits_mol: (bs, L, V); trg_labels: (bs, L).
+
+    label_smoothing > 0 enables the smoothed-CE variant the reference
+    keeps but never wires in (LabelSmoothing, Model/modules.py:150-183:
+    mass spread over non-pad, non-target classes)."""
     logits = logits_mol.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, trg_labels[..., None], axis=-1)[..., 0]
     valid = (trg_labels != pad_id).astype(jnp.float32)
+    if label_smoothing > 0.0:
+        V = logits.shape[-1]
+        conf = 1.0 - label_smoothing
+        fill = label_smoothing / (V - 2)
+        true_dist = jnp.full_like(logp, fill)
+        true_dist = true_dist.at[..., pad_id].set(0.0)
+        onehot = jax.nn.one_hot(trg_labels, V)
+        true_dist = jnp.where(onehot > 0, conf, true_dist)
+        nll = -jnp.sum(true_dist * logp, axis=-1)
+    else:
+        nll = -jnp.take_along_axis(logp, trg_labels[..., None],
+                                   axis=-1)[..., 0]
     rce = jnp.sum(nll * valid)
 
     mu = mu.astype(jnp.float32)
