@@ -38,7 +38,7 @@ def main():
 
     cfg = ModelConfig(src_vocab=40, trg_vocab=44, N=6, d_model=512,
                       d_ff=2048, heads=8, latent_dim=128, dropout=0.0,
-                      nconds=0)
+                      nconds=0, dtype=jnp.bfloat16)
     model = Vaetf(cfg)
     params = init_params(model, cfg)
 
@@ -51,19 +51,29 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # ---- ours: KV-cached while_loop sampler -------------------------
+    # NOTE on methodology: timings materialize outputs to host
+    # (np.asarray) — through the remote-execution tunnel of this
+    # environment block_until_ready does not reliably fence, and
+    # repeated identical programs can be served from a cache, so every
+    # iteration uses fresh inputs and is synced by the host copy.
+    # eos_id=-9 forces the full 79 steps (a trained model stops early;
+    # random weights would too — this reports the worst case).
     eng = DecodeEngine(model, cfg)
 
-    def run_ours(k):
-        return eng.sample(params, jnp.asarray(prefix), 1, z, src_mask, None,
-                          k, max_new=MAX_STRLEN - 1,
-                          decode_algo="multinomial")
+    def run_ours(i):
+        stop = jnp.asarray(
+            np.random.default_rng(i).integers(20, LAT, (BS,)), jnp.int32)
+        out = eng.sample_prior(
+            params, jnp.asarray(prefix), 1, LAT, stop, None,
+            jax.random.fold_in(key, i), max_new=MAX_STRLEN - 1,
+            decode_algo="multinomial", eos_id=-9)
+        return np.asarray(out)
 
-    run_ours(key).block_until_ready()  # compile
-    n_iter = 5
+    run_ours(999)  # compile
+    n_iter = 4
     t0 = time.perf_counter()
     for i in range(n_iter):
-        out = run_ours(jax.random.fold_in(key, i))
-    out.block_until_ready()
+        out = run_ours(i)
     ours_sps = BS * n_iter / (time.perf_counter() - t0)
 
     # ---- baseline: reference algorithm on the same chip -------------
@@ -71,30 +81,39 @@ def main():
         {"params": p}, ys, z, sm, tm, None, deterministic=True,
         method=Vaetf.decode))
 
-    def run_reference(k):
-        ys = np.full((BS, 1), 2, np.int32)
-        finished = np.zeros(BS, bool)
-        kk = k
-        for step in range(MAX_STRLEN - 1):
-            L = ys.shape[1]
-            Lb = ((L + 15) // 16) * 16  # bucket (favor to the baseline)
-            ys_pad = np.full((BS, Lb), 1, np.int32)
-            ys_pad[:, :L] = ys
-            tm = get_trg_mask(jnp.asarray(ys_pad), 1, False)
-            logits = decode_full(params, jnp.asarray(ys_pad), z, src_mask, tm)
-            probs = jax.nn.softmax(logits[:, L - 1, :])
-            kk, sub = jax.random.split(kk)
-            nxt = np.asarray(jax.random.categorical(sub, jnp.log(probs)))
-            ys = np.concatenate([ys, nxt[:, None].astype(np.int32)], axis=1)
-            finished |= nxt == 3
-            if finished.all():  # per-step host sync, like the reference
-                break
-        return ys
+    # The reference loop re-runs the full decoder over the whole prefix
+    # at every step (sampling_tool.py:144-157). Running all 79 steps
+    # through this environment's remote tunnel takes many minutes, so
+    # the baseline cost is measured per-step at representative prefix
+    # lengths (bucketed to 16, which FAVORS the baseline) and summed
+    # over the 79-step schedule. Each measured step is synced by host
+    # materialization, like the reference's per-step eos check.
+    def one_ref_step(L, i):
+        Lb = ((L + 15) // 16) * 16
+        ys_pad = np.full((BS, Lb), 1, np.int32)
+        ys_pad[:, :L] = np.random.default_rng(i).integers(4, 40, (BS, L))
+        ys_pad[:, 0] = 2
+        tm = get_trg_mask(jnp.asarray(ys_pad), 1, False)
+        logits = decode_full(params, jnp.asarray(ys_pad), z, src_mask, tm)
+        probs = jax.nn.softmax(logits[:, L - 1, :])
+        nxt = np.asarray(jax.random.categorical(
+            jax.random.fold_in(key, 1000 + i), jnp.log(probs)))
+        return nxt
 
-    run_reference(key)  # compile all buckets
-    t0 = time.perf_counter()
-    ref_out = run_reference(jax.random.fold_in(key, 100))
-    ref_sps = BS / (time.perf_counter() - t0)
+    probe_lengths = [8, 24, 40, 56, 72, 79]
+    for L in probe_lengths:  # compile each bucket
+        one_ref_step(L, 0)
+    per_len_cost = {}
+    for j, L in enumerate(probe_lengths):
+        t0 = time.perf_counter()
+        one_ref_step(L, 10 + j)
+        per_len_cost[L] = time.perf_counter() - t0
+    # integrate over the 79-step schedule by nearest probe length
+    total = 0.0
+    for L in range(1, MAX_STRLEN):
+        nearest = min(probe_lengths, key=lambda p: abs(p - L))
+        total += per_len_cost[nearest]
+    ref_sps = BS / total
 
     speedup = ours_sps / ref_sps
     print(json.dumps({

@@ -146,18 +146,15 @@ class Mol:
 
 
 def _cycle_basis(mol: Mol) -> List[List[int]]:
-    """Minimum cycle basis approximation (Horton-lite): for each
-    non-tree edge, the cycle through the BFS tree; then reduce to a
-    basis by size order. Adequate for fused drug-like ring systems."""
-    n = mol.num_atoms()
-    visited = [False] * n
-    parent = [-1] * n
-    depth = [0] * n
-    rings: List[List[int]] = []
-    tree_edges = set()
-
+    """SSSR-like ring set: for every non-tree (chord) edge, the
+    SHORTEST cycle through it (BFS with the chord removed). Gives the
+    expected small rings for fused drug-like systems (naphthalene ->
+    two 6-rings, not a 6+10 basis)."""
     import collections
 
+    n = mol.num_atoms()
+    visited = [False] * n
+    tree_edges = set()
     for root in range(n):
         if visited[root]:
             continue
@@ -169,31 +166,37 @@ def _cycle_basis(mol: Mol) -> List[List[int]]:
                 v = mol.bonds[bi].other(u)
                 if not visited[v]:
                     visited[v] = True
-                    parent[v] = u
-                    depth[v] = depth[u] + 1
                     tree_edges.add((min(u, v), max(u, v)))
                     dq.append(v)
 
-    def path_to_root(x):
-        p = [x]
-        while parent[p[-1]] != -1:
-            p.append(parent[p[-1]])
-        return p
-
+    rings: List[List[int]] = []
     seen_rings = set()
-    for b in mol.bonds:
-        e = (min(b.a1, b.a2), max(b.a1, b.a2))
+    for chord in mol.bonds:
+        e = (min(chord.a1, chord.a2), max(chord.a1, chord.a2))
         if e in tree_edges:
             continue
-        # cycle = path(a1->lca) + path(a2->lca)
-        pu, pv = path_to_root(b.a1), path_to_root(b.a2)
-        su = set(pu)
-        lca = next(x for x in pv if x in su)
-        cyc = pu[: pu.index(lca) + 1] + pv[: pv.index(lca)][::-1]
-        key = frozenset(cyc)
-        if key not in seen_rings and len(cyc) >= 3:
+        # BFS shortest path a1 -> a2 avoiding the chord itself
+        src, dst = chord.a1, chord.a2
+        prev = {src: -1}
+        dq = collections.deque([src])
+        while dq and dst not in prev:
+            u = dq.popleft()
+            for bi in mol._adj[u]:
+                b = mol.bonds[bi]
+                if b is chord:
+                    continue
+                v = b.other(u)
+                if v not in prev:
+                    prev[v] = u
+                    dq.append(v)
+        if dst not in prev:
+            continue
+        path = [dst]
+        while path[-1] != src:
+            path.append(prev[path[-1]])
+        key = frozenset(path)
+        if len(path) >= 3 and key not in seen_rings:
             seen_rings.add(key)
-            rings.append(cyc)
-    # prefer small rings: this is a cycle *basis*, not all rings
+            rings.append(path)
     rings.sort(key=len)
     return rings

@@ -141,6 +141,11 @@ def sanitize(mol: Mol) -> Mol:
             raise SanitizeError(
                 f"explicit valence {total} > max {max(vlist)} for "
                 f"{atom.symbol}{atom.charge:+d} (atom {i})")
+
+    # kekule-input rings that satisfy Hueckel get aromatized so both
+    # written forms canonicalize identically (chem/aromatic.py)
+    from gctplus_tpu.chem.aromatic import perceive_aromaticity
+    perceive_aromaticity(mol)
     return mol
 
 

@@ -88,6 +88,10 @@ def main(argv=None):
     p.add_argument("-smiles", type=str, required=True)
     p.add_argument("-scaffold", type=str, default=None)
 
+    p = sub.add_parser("latent-analysis")
+    _common(p)
+    p.add_argument("-n_samples", type=int, default=256)
+
     args = parser.parse_args(argv)
     set_seed(args.seed)  # inference.py:114 uses set_seed(0)
 
@@ -119,6 +123,9 @@ def main(argv=None):
     elif args.cmd == "visualize-attention":
         from gctplus_tpu.tasks.visualize_attention import visualize_attention
         visualize_attention(args, args.smiles, args.scaffold)
+    elif args.cmd == "latent-analysis":
+        from gctplus_tpu.tasks.latent_analysis import latent_analysis
+        latent_analysis(args, test or train)
 
 
 if __name__ == "__main__":

@@ -216,26 +216,22 @@ class Decoder(nn.Module):
     def prepare_memory(self, z, src_mask, dconds=None):
         """Precompute per-layer cross-attention K/V once per sample call.
 
-        Returns (mem_ks, mem_vs, widened_src_mask); mem_ks/mem_vs are
-        (N, bs, h, Lmem, dk) stacked arrays.
+        Returns (mem_kvs, widened_src_mask); mem_kvs is a tuple of
+        (k, v) pairs, one per layer, each (bs, h, Lmem, dk).
         """
         mem, src_mask = self._memory_and_mask(z, src_mask, dconds)
-        ks, vs = [], []
-        for layer in self.layers:
-            k, v = layer.cross_kv(mem)
-            ks.append(k)
-            vs.append(v)
-        return jnp.stack(ks), jnp.stack(vs), src_mask
+        kvs = tuple(layer.cross_kv(mem) for layer in self.layers)
+        return kvs, src_mask
 
-    def prefill(self, prefix, prefix_len_mask, mem_ks, mem_vs, src_mask,
+    def prefill(self, prefix, prefix_len_mask, mem_kvs, src_mask,
                 cache_len: int, deterministic: bool = True):
         """Run a (right-padded) prefix through the decoder, filling the
         self-attention KV cache.
 
         prefix: (bs, P) token ids; prefix_len_mask: (bs, P) True for
-        real tokens.  Returns (x_all, self_ks, self_vs) where
-        self_ks/self_vs are (N, bs, h, cache_len, dk) with positions
-        [0, P) filled.
+        real tokens.  Returns (x_all, self_kvs) where self_kvs is a
+        per-layer tuple of (k, v), each (bs, h, cache_len, dk) with
+        positions [0, P) filled.
         """
         c = self.cfg
         bs, P = prefix.shape
@@ -243,16 +239,19 @@ class Decoder(nn.Module):
         x = self.pe(x, deterministic=deterministic)
         causal = jnp.tril(jnp.ones((P, P), dtype=bool))[None]
         self_mask = causal & prefix_len_mask[:, None, :]
-        ks = jnp.zeros((c.N, bs, c.heads, cache_len, c.d_k), c.dtype)
-        vs = jnp.zeros_like(ks)
+        self_kvs = []
         for i, layer in enumerate(self.layers):
             k, v = layer.self_kv(x)  # (bs, h, P, dk)
-            ks = ks.at[i, :, :, :P, :].set(k)
-            vs = vs.at[i, :, :, :P, :].set(v)
+            kc = jnp.zeros((bs, c.heads, cache_len, c.d_k), c.dtype)
+            vc = jnp.zeros_like(kc)
+            kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0))
+            self_kvs.append((kc, vc))
             x = self._prefill_layer(
-                layer, x, self_mask, mem_ks[i], mem_vs[i], src_mask, deterministic)
+                layer, x, self_mask, mem_kvs[i][0], mem_kvs[i][1], src_mask,
+                deterministic)
         x = self.norm(x)
-        return x, ks, vs
+        return x, tuple(self_kvs)
 
     @staticmethod
     def _prefill_layer(layer, x, self_mask, mem_k, mem_v, src_mask, deterministic):
@@ -266,31 +265,34 @@ class Decoder(nn.Module):
         x = x + layer.drop_3(layer.ff(h, deterministic), deterministic=deterministic)
         return x
 
-    def step(self, token, pos, self_ks, self_vs, mem_ks, mem_vs, src_mask,
+    def step(self, token, pos, self_kvs, mem_kvs, src_mask,
              deterministic: bool = True):
         """One decode step at (traced) position `pos`.
 
-        token: (bs,) ids of the token at `pos`.  Returns
-        (x_out (bs,1,d), new self_ks, new self_vs).
+        token: (bs,) ids of the token at `pos`. self_kvs/mem_kvs are
+        per-layer tuples of (k, v). Returns (x_out (bs,1,d),
+        new self_kvs).
         """
         c = self.cfg
         bs = token.shape[0]
-        cache_len = self_ks.shape[3]
+        cache_len = self_kvs[0][0].shape[2]
         x = self.embed(token[:, None])
         x = self.pe.at_position(x, pos)
         positions = jnp.arange(cache_len)
         len_mask = (positions <= pos)[None, None, :]          # (1,1,T)
         len_mask = jnp.broadcast_to(len_mask, (bs, 1, cache_len))
+        new_kvs = []
         for i, layer in enumerate(self.layers):
             k1, v1 = layer.self_kv(x)  # (bs, h, 1, dk)
-            self_ks = jax.lax.dynamic_update_slice(
-                self_ks, k1[None], (i, 0, 0, pos, 0))
-            self_vs = jax.lax.dynamic_update_slice(
-                self_vs, v1[None], (i, 0, 0, pos, 0))
-            x = layer.step(x, pos, self_ks[i], self_vs[i], mem_ks[i], mem_vs[i],
+            kc = jax.lax.dynamic_update_slice(
+                self_kvs[i][0], k1, (0, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                self_kvs[i][1], v1, (0, 0, pos, 0))
+            new_kvs.append((kc, vc))
+            x = layer.step(x, pos, kc, vc, mem_kvs[i][0], mem_kvs[i][1],
                            len_mask, src_mask, deterministic)
         x = self.norm(x)
-        return x, self_ks, self_vs
+        return x, tuple(new_kvs)
 
 
 class _BaseVAE(nn.Module):
@@ -356,19 +358,18 @@ class _BaseVAE(nn.Module):
     def prepare_memory(self, z, src_mask, dconds=None):
         return self.decoder.prepare_memory(z, src_mask, dconds)
 
-    def decode_prefill(self, prefix, prefix_len_mask, mem_ks, mem_vs, src_mask,
+    def decode_prefill(self, prefix, prefix_len_mask, mem_kvs, src_mask,
                        cache_len: int, deterministic: bool = True):
-        x, ks, vs = self.decoder.prefill(
-            prefix, prefix_len_mask, mem_ks, mem_vs, src_mask, cache_len,
+        x, self_kvs = self.decoder.prefill(
+            prefix, prefix_len_mask, mem_kvs, src_mask, cache_len,
             deterministic)
-        return self.out(x), ks, vs
+        return self.out(x), self_kvs
 
-    def decode_step(self, token, pos, self_ks, self_vs, mem_ks, mem_vs,
+    def decode_step(self, token, pos, self_kvs, mem_kvs,
                     src_mask, deterministic: bool = True):
-        x, ks, vs = self.decoder.step(
-            token, pos, self_ks, self_vs, mem_ks, mem_vs, src_mask,
-            deterministic)
-        return self.out(x)[:, 0, :], ks, vs
+        x, self_kvs = self.decoder.step(
+            token, pos, self_kvs, mem_kvs, src_mask, deterministic)
+        return self.out(x)[:, 0, :], self_kvs
 
 
 class Vaetf(_BaseVAE):

@@ -71,7 +71,7 @@ class DecodeEngine:
     # -----------------------------------------------------------------
     def _build(self, prefix_bucket: int, lat_len: int, max_new: int,
                decode_algo: str, top_k: Optional[int], eos_id: int,
-               pad_id: int, has_conds: bool):
+               pad_id: int, has_conds: bool, prior: bool = False):
         model, cfg = self.model, self.cfg
         cache_len = prefix_bucket + max_new
 
@@ -79,15 +79,15 @@ class DecodeEngine:
             bs = prefix.shape[0]
             variables = {"params": params}
 
-            mem_ks, mem_vs, wide_src_mask = model.apply(
+            mem_kvs, wide_src_mask = model.apply(
                 variables, z, src_mask, dconds,
                 method=type(model).prepare_memory)
 
             prefix_positions = jnp.arange(prefix_bucket)[None, :]
             prefix_len_mask = prefix_positions < prefix_len
 
-            prefill_logits, self_ks, self_vs = model.apply(
-                variables, prefix, prefix_len_mask, mem_ks, mem_vs,
+            prefill_logits, self_kvs = model.apply(
+                variables, prefix, prefix_len_mask, mem_kvs,
                 wide_src_mask, cache_len,
                 method=type(model).decode_prefill)
 
@@ -110,27 +110,51 @@ class DecodeEngine:
             cur_len = prefix_len + 1
 
             def cond_fn(carry):
-                tokens, cur_len, finished, ks, vs, rng = carry
+                tokens, cur_len, finished, kvs, rng = carry
                 return (cur_len < prefix_len + max_new) & ~jnp.all(finished)
 
             def body_fn(carry):
-                tokens, cur_len, finished, ks, vs, rng = carry
+                tokens, cur_len, finished, kvs, rng = carry
                 last_tok = tokens[bidx, cur_len - 1]
-                logits, ks, vs = model.apply(
-                    {"params": params}, last_tok, cur_len - 1, ks, vs,
-                    mem_ks, mem_vs, wide_src_mask,
+                logits, kvs = model.apply(
+                    {"params": params}, last_tok, cur_len - 1, kvs,
+                    mem_kvs, wide_src_mask,
                     method=type(model).decode_step)
                 rng, sub = jax.random.split(rng)
                 nxt = _sample_next(logits, sub, decode_algo, top_k)
                 nxt = jnp.where(finished, pad_id, nxt)
                 tokens = tokens.at[bidx, cur_len].set(nxt)
                 finished = finished | (nxt == eos_id)
-                return (tokens, cur_len + 1, finished, ks, vs, rng)
+                return (tokens, cur_len + 1, finished, kvs, rng)
 
-            carry = (tokens, cur_len, finished, self_ks, self_vs, rng)
-            tokens, cur_len, finished, _, _, _ = jax.lax.while_loop(
+            carry = (tokens, cur_len, finished, self_kvs, rng)
+            tokens, cur_len, finished, _, _ = jax.lax.while_loop(
                 cond_fn, body_fn, carry)
             return tokens
+
+        if prior:
+            # TPU-native prior sampling: z ~ N(0,1) and the toklen mask
+            # are built ON DEVICE inside the compiled program — no
+            # host-side latent generation or 20MB host->device
+            # transfers per batch (the reference moves z from host
+            # every call, sampling_tool.py:93-97,263).
+            def prior_sampler(params, prefix, prefix_len, toklen_stop,
+                              dconds, rng):
+                bs = prefix.shape[0]
+                rng, zkey = jax.random.split(rng)
+                z = jax.random.normal(
+                    zkey, (bs, lat_len, cfg.latent_dim), jnp.float32)
+                src_mask = (jnp.arange(lat_len)[None, None, :]
+                            < toklen_stop[:, None, None])
+                return sampler(params, prefix, prefix_len, z, src_mask,
+                               dconds, rng)
+
+            if has_conds:
+                return jax.jit(prior_sampler)
+            return jax.jit(
+                lambda params, prefix, prefix_len, toklen_stop, rng:
+                prior_sampler(params, prefix, prefix_len, toklen_stop,
+                              None, rng))
 
         if has_conds:
             return jax.jit(sampler)
@@ -162,3 +186,25 @@ class DecodeEngine:
         if has_conds:
             return fn(params, prefix, prefix_len, z, src_mask, dconds, rng)
         return fn(params, prefix, prefix_len, z, src_mask, rng)
+
+    def sample_prior(self, params, prefix, prefix_len: int, lat_len: int,
+                     toklen_stop, dconds, rng, max_new: int,
+                     decode_algo: str = "multinomial",
+                     top_k: Optional[int] = None, eos_id: int = 3,
+                     pad_id: int = 1):
+        """Like sample(), but z ~ N(0,1) of shape (bs, lat_len,
+        latent_dim) and the source mask (positions < toklen_stop) are
+        generated on device. toklen_stop: (bs,) ints."""
+        has_conds = dconds is not None
+        key = ("prior", prefix.shape[1], lat_len, max_new, decode_algo,
+               top_k, eos_id, pad_id, has_conds)
+        if key not in self._jitted:
+            self._jitted[key] = self._build(
+                prefix.shape[1], lat_len, max_new, decode_algo, top_k,
+                eos_id, pad_id, has_conds, prior=True)
+        fn = self._jitted[key]
+        prefix_len = jnp.asarray(prefix_len, jnp.int32)
+        toklen_stop = jnp.asarray(toklen_stop, jnp.int32)
+        if has_conds:
+            return fn(params, prefix, prefix_len, toklen_stop, dconds, rng)
+        return fn(params, prefix, prefix_len, toklen_stop, rng)

@@ -94,7 +94,8 @@ class BaseSampler:
     def _decode_batch(self, n: int, prefix_ids: List[int], toklen: np.ndarray,
                       extra_lat: int, dconds: Optional[np.ndarray]
                       ) -> np.ndarray:
-        """Shared decode: build bucketed prefix/z/mask, run the engine."""
+        """Shared decode: bucketed prefix; z + source mask are drawn on
+        device inside the compiled sampler (DecodeEngine.sample_prior)."""
         P = len(prefix_ids)
         P_bucket = _round_up(P, 8)
         prefix = np.full((n, P_bucket), self.src_vocab.pad_id, np.int32)
@@ -103,14 +104,11 @@ class BaseSampler:
         lat_len = int(np.max(toklen)) + extra_lat
         lat_len = min(_round_up(lat_len, self.lat_bucket),
                       self.cfg.max_seq_len)
-        z = self._sample_z(n, lat_len)
         stop = np.minimum(toklen + extra_lat, lat_len)
-        src_mask = jnp.asarray(
-            np.arange(lat_len)[None, None, :] < stop[:, None, None])
 
         dc = None if dconds is None else jnp.asarray(dconds, jnp.float32)
-        toks = self.engine.sample(
-            self.params, jnp.asarray(prefix), P, z, src_mask, dc,
+        toks = self.engine.sample_prior(
+            self.params, jnp.asarray(prefix), P, lat_len, stop, dc,
             self._next_key(), max_new=self.max_strlen - 1,
             decode_algo=self.decode_algo, top_k=self.top_k,
             eos_id=self.trg_vocab.eos_id, pad_id=self.trg_vocab.pad_id)
