@@ -147,6 +147,17 @@ def property_error_stats(gen_props: np.ndarray, target: np.ndarray,
     return out
 
 
+def fcd(gen: Sequence[str], ref: Sequence[str]):
+    """Frechet ChemNet Distance — requires the pretrained ChemNet
+    weights, a data artifact MOSES downloads at install time; no
+    network egress here. Raises with guidance instead of silently
+    returning a wrong number."""
+    raise NotImplementedError(
+        "FCD needs the pretrained ChemNet checkpoint (moses/fcd asset). "
+        "Place it locally and wire eval.fcd, or use SNN/IntDiv/KL-div "
+        "metrics which are fully in-repo.")
+
+
 def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
                     test: Optional[Sequence[str]] = None,
                     k: Sequence[int] = (1000, 10000),

@@ -27,6 +27,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: the analog of the reference's
+    dist.init_process_group + MASTER_ADDR/PORT rendezvous
+    (train1.py:34-38,160-161). One call per host; afterwards
+    jax.devices() spans all hosts and the same mesh/sharding code
+    scales out (collectives ride ICI within a slice, DCN across)."""
+    import jax
+
+    if coordinator_address is None:
+        return  # single-host
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -187,6 +187,127 @@ class DecodeEngine:
             return fn(params, prefix, prefix_len, z, src_mask, dconds, rng)
         return fn(params, prefix, prefix_len, z, src_mask, rng)
 
+    # -----------------------------------------------------------------
+    def beam_search(self, params, prefix, prefix_len: int, z, src_mask,
+                    dconds, max_new: int, beam_width: int = 4,
+                    length_penalty: float = 0.7, eos_id: int = 3,
+                    pad_id: int = 1):
+        """Beam-search decode (the reference ships a broken/dead beam
+        search, Inference/generate_mols.py:75-208; this is a working
+        TPU-native one). Beams ride the batch axis (bs*k rows share the
+        KV-cache machinery); per-step: joint top-k over (k x V)
+        continuations with GNMT-style length normalization
+        score/((5+len)/6)^alpha. Returns (bs, prefix+max_new) best rows.
+        """
+        bs = prefix.shape[0]
+        k = beam_width
+        key = ("beam", prefix.shape[1], z.shape[1], max_new, k,
+               length_penalty, eos_id, pad_id, dconds is not None)
+        if key not in self._jitted:
+            self._jitted[key] = self._build_beam(
+                prefix.shape[1], z.shape[1], max_new, k, length_penalty,
+                eos_id, pad_id, dconds is not None)
+        fn = self._jitted[key]
+        if dconds is not None:
+            return fn(params, prefix, jnp.asarray(prefix_len, jnp.int32), z,
+                      src_mask, dconds)
+        return fn(params, prefix, jnp.asarray(prefix_len, jnp.int32), z,
+                  src_mask)
+
+    def _build_beam(self, prefix_bucket: int, lat_len: int, max_new: int,
+                    k: int, alpha: float, eos_id: int, pad_id: int,
+                    has_conds: bool):
+        model, cfg = self.model, self.cfg
+        cache_len = prefix_bucket + max_new
+
+        def beam(params, prefix, prefix_len, z, src_mask, dconds=None):
+            bs = prefix.shape[0]
+            variables = {"params": params}
+
+            def tile(x):
+                return jnp.repeat(x, k, axis=0)  # (bs*k, ...)
+
+            prefix_t = tile(prefix)
+            z_t = tile(z)
+            src_mask_t = tile(src_mask)
+            dconds_t = tile(dconds) if dconds is not None else None
+
+            mem_kvs, wide_src_mask = model.apply(
+                variables, z_t, src_mask_t, dconds_t,
+                method=type(model).prepare_memory)
+            prefix_len_mask = jnp.broadcast_to(
+                jnp.arange(prefix_bucket)[None, :] < prefix_len,
+                (bs * k, prefix_bucket))
+            prefill_logits, self_kvs = model.apply(
+                variables, prefix_t, prefix_len_mask,
+                mem_kvs, wide_src_mask, cache_len,
+                method=type(model).decode_prefill)
+
+            tokens = jnp.full((bs * k, cache_len), pad_id, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, prefix_t, (0, 0))
+
+            bidx = jnp.arange(bs * k)
+            last_idx = prefix_len - 1
+            logp0 = jax.nn.log_softmax(jnp.take_along_axis(
+                prefill_logits,
+                (last_idx * jnp.ones((bs * k, 1, 1), jnp.int32)).astype(jnp.int32),
+                axis=1)[:, 0, :].astype(jnp.float32), axis=-1)  # (bs*k, V)
+            V = logp0.shape[-1]
+            # initialize: row j of each group takes the j-th best token
+            top0 = jax.lax.top_k(logp0.reshape(bs, k, V)[:, 0, :], k)
+            scores = top0[0].reshape(bs * k)          # (bs*k,)
+            first_tok = top0[1].reshape(bs * k).astype(jnp.int32)
+            tokens = tokens.at[bidx, prefix_len].set(first_tok)
+            finished = first_tok == eos_id
+            cur_len = prefix_len + 1
+
+            def norm_score(s, length):
+                return s / (((5.0 + length) / 6.0) ** alpha)
+
+            def body_fn(step, carry):
+                tokens, scores, finished, kvs = carry
+                cur = prefix_len + 1 + step
+                last_tok = tokens[bidx, cur - 1]
+                logits, kvs = model.apply(
+                    {"params": params}, last_tok, cur - 1, kvs,
+                    mem_kvs, wide_src_mask, method=type(model).decode_step)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                # finished beams only extend with pad at no cost
+                pad_only = jnp.full((bs * k, V), -jnp.inf
+                                    ).at[:, pad_id].set(0.0)
+                logp = jnp.where(finished[:, None], pad_only, logp)
+                cand = scores[:, None] + logp           # (bs*k, V)
+                cand = cand.reshape(bs, k * V)
+                best_s, best_i = jax.lax.top_k(cand, k)  # (bs, k)
+                beam_src = best_i // V                   # index within group
+                tok_next = (best_i % V).astype(jnp.int32)
+                flat_src = (jnp.arange(bs)[:, None] * k + beam_src
+                            ).reshape(bs * k)
+                # reorder everything by chosen source beam
+                tokens = tokens[flat_src]
+                kvs = jax.tree_util.tree_map(lambda a: a[flat_src], kvs)
+                finished = finished[flat_src]
+                scores = best_s.reshape(bs * k)
+                tok_flat = tok_next.reshape(bs * k)
+                tokens = tokens.at[bidx, cur].set(
+                    jnp.where(finished, pad_id, tok_flat))
+                finished = finished | (tok_flat == eos_id)
+                return (tokens, scores, finished, kvs)
+
+            tokens, scores, finished, _ = jax.lax.fori_loop(
+                0, max_new - 1, body_fn,
+                (tokens, scores, finished, self_kvs))
+            # pick best beam per group by length-normalized score
+            lengths = jnp.sum(tokens != pad_id, axis=1).astype(jnp.float32)
+            final = norm_score(scores, lengths).reshape(bs, k)
+            best = jnp.argmax(final, axis=1)
+            tokens = tokens.reshape(bs, k, cache_len)[jnp.arange(bs), best]
+            return tokens
+
+        if has_conds:
+            return jax.jit(beam)
+        return jax.jit(lambda p, pre, pl, z, sm: beam(p, pre, pl, z, sm))
+
     def sample_prior(self, params, prefix, prefix_len: int, lat_len: int,
                      toklen_stop, dconds, rng, max_new: int,
                      decode_algo: str = "multinomial",

@@ -41,6 +41,18 @@ def lerp(v0: np.ndarray, v1: np.ndarray, alpha: float) -> np.ndarray:
     return (1 - alpha) * v0 + alpha * v1
 
 
+def approximate_z(z: np.ndarray, target_len: int,
+                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Token-wise Gaussian refit to a different latent length
+    (mol_interpolation.py:124-131): fit a per-dimension Gaussian over
+    the token axis and draw target_len rows from it."""
+    rng = rng or np.random.default_rng(0)
+    mean = z.mean(axis=0)
+    std = z.std(axis=0)
+    return mean[None, :] + std[None, :] * rng.standard_normal(
+        (target_len, z.shape[-1]))
+
+
 def sample_molecular_pairs(smiles: Sequence[str], n_pairs: int,
                            similarity_threshold: float = 0.5,
                            same_scaffold: bool = False, seed: int = 0,
