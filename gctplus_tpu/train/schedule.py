@@ -30,3 +30,15 @@ def make_optimizer(d_model: int, warmup_steps: int = 8000,
     sched = noam_schedule(d_model, warmup_steps)
     tx = optax.adam(learning_rate=sched, b1=b1, b2=b2, eps=eps)
     return tx, sched
+
+
+def with_frozen(tx, trainable_mask):
+    """Freeze parameters where trainable_mask is False (the reference's
+    freeze_params sets requires_grad=False, Model/build_model.py:28-39;
+    the optax analog zeroes those updates via multi_transform)."""
+    import jax
+
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", trainable_mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)

@@ -1,0 +1,84 @@
+"""End-to-end demo: synthetic corpus -> preprocess -> train vaetf on
+the TPU -> sample -> metrics. Writes EVIDENCE snippet to stdout.
+
+Usage: python scripts/demo_train.py [workdir] [n_mols] [epochs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gct_demo"
+    n_mols = int(sys.argv[2]) if len(sys.argv) > 2 else 12000
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+
+    from gctplus_tpu.data.preprocess import preprocess
+    marker = os.path.join(workdir, "prepared", "train.csv")
+    if not os.path.exists(marker):
+        print(f"[{time.time()-t0:.0f}s] generating {n_mols} synthetic molecules...")
+        preprocess(workdir, n_jobs=8, n_synthetic=n_mols, seed=11)
+    print(f"[{time.time()-t0:.0f}s] preprocess done")
+
+    args = types.SimpleNamespace(
+        seed=0, start_epoch=1, num_epoch=epochs, batch_size=256,
+        property_list=[], model_type="vaetf",
+        model_folder=os.path.join(workdir, "run_vaetf"),
+        use_scaffold=False, randomize_prob=0.1,
+        prepared_folder=os.path.join(workdir, "prepared"),
+        util_folder=os.path.join(workdir, "utils"), debug=False,
+        use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
+        KLA_max_beta=1.0, KLA_beg_epoch=1, lr_scheduler="WarmUpDefault",
+        lr_WarmUpSteps=400, lr=1e-4, lr_beta1=0.9, lr_beta2=0.98,
+        lr_eps=1e-9, n_data_shards=1, n_model_shards=1,
+        compute_dtype="bfloat16",
+        N=4, H=8, d_ff=1024, d_model=256, latent_dim=64, dropout=0.1,
+        variational=True, use_cond2dec=False, use_cond2lat=False,
+        get_attn=False)
+
+    from gctplus_tpu.tasks.train_task import train_task
+    print(f"[{time.time()-t0:.0f}s] training {epochs} epochs...")
+    train_task(args)
+    print(f"[{time.time()-t0:.0f}s] training done")
+
+    import pandas as pd
+    sargs = types.SimpleNamespace(
+        model_type="vaetf", model_folder=args.model_folder,
+        model_name=f"model_{epochs}.msgpack", util_folder=args.util_folder,
+        N=4, H=8, d_ff=1024, d_model=256, latent_dim=64, dropout=0.0,
+        property_list=[], max_strlen=80, decode_algo="multinomial",
+        top_k=None, seed=7, batch_size=512)
+    from gctplus_tpu.tasks.common import build_sampler
+    sampler = build_sampler(sargs)
+    smiles, _ = sampler.sample_smiles(3000)
+    print(f"[{time.time()-t0:.0f}s] sampled {len(smiles)}")
+
+    from gctplus_tpu.eval.metrics import (
+        fraction_unique, fraction_valid, internal_diversity, novelty)
+    train_smi = pd.read_csv(os.path.join(workdir, "raw", "train.csv"))[
+        "smiles"].tolist()
+    m = {
+        "valid": fraction_valid(smiles, 8),
+        "unique": fraction_unique(smiles, None, 8),
+        "novelty": novelty(smiles, train_smi, 8, train_is_canonical=True),
+        "IntDiv": internal_diversity(smiles, 8),
+        "n_train": len(train_smi), "epochs": epochs,
+        "wall_min": round((time.time() - t0) / 60, 1),
+    }
+    print("DEMO_RESULT " + json.dumps(m))
+    with open(os.path.join(workdir, "demo_result.json"), "w") as f:
+        json.dump(m, f)
+
+
+if __name__ == "__main__":
+    main()
