@@ -46,9 +46,20 @@ def main():
         variational=True, use_cond2dec=False, use_cond2lat=False,
         get_attn=False)
 
-    from gctplus_tpu.tasks.train_task import train_task
-    print(f"[{time.time()-t0:.0f}s] training {epochs} epochs...")
-    train_task(args)
+    # resumable: continue from the last saved epoch checkpoint
+    import re
+    done = 0
+    if os.path.isdir(args.model_folder):
+        for f in os.listdir(args.model_folder):
+            m = re.match(r"model_(\d+)\.msgpack$", f)
+            if m:
+                done = max(done, int(m.group(1)))
+    args.start_epoch = done + 1
+    if args.start_epoch <= epochs:
+        from gctplus_tpu.tasks.train_task import train_task
+        print(f"[{time.time()-t0:.0f}s] training epochs "
+              f"{args.start_epoch}..{epochs}...")
+        train_task(args)
     print(f"[{time.time()-t0:.0f}s] training done")
 
     import pandas as pd
