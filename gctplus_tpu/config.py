@@ -84,6 +84,9 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-n_model_shards", type=int, default=1)
     parser.add_argument("-compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("-fixed_seqlen", type=int, default=80,
+                        help="pad all batches to one static length "
+                             "(0 = bucketed dynamic lengths)")
 
 
 def preprocess_opts(parser: argparse.ArgumentParser):

@@ -97,7 +97,8 @@ class BatchLoader:
                  use_scaffold: bool = False, shuffle: bool = True,
                  seed: int = 0, rank: int = 0, world_size: int = 1,
                  bucket: int = 8, drop_last: bool = False,
-                 pad_to_multiple: int = 1, length_bucketing: bool = False):
+                 pad_to_multiple: int = 1, length_bucketing: bool = False,
+                 fixed_len: Optional[int] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.use_scaffold = use_scaffold
@@ -113,6 +114,11 @@ class BatchLoader:
         # final eval batch; training uses drop_last instead)
         self.pad_to_multiple = pad_to_multiple
         self.length_bucketing = length_bucketing
+        # fixed_len pads every batch to one static shape: ONE XLA
+        # compilation for the whole run (recompiles are expensive,
+        # especially through a remote-execution tunnel); costs padding
+        # FLOPs, which length_bucketing=True instead minimizes.
+        self.fixed_len = fixed_len
         self._lengths = None  # lazy, for length bucketing
 
     def set_epoch(self, epoch: int):
@@ -186,10 +192,24 @@ class BatchLoader:
                 trg_tok = [r["trg"] for r in rows]
             src_ids = [sv.encode(t) for t in src_tok]
             trg_ids = [[tv.sos_id] + tv.encode(t) + [tv.eos_id] for t in trg_tok]
-            batch: Dict[str, np.ndarray] = {
-                "src": pad_batch(src_ids, sv.pad_id, self.bucket),
-                "trg": pad_batch(trg_ids, tv.pad_id, self.bucket),
-            }
+            if self.fixed_len is not None:
+                src_arr = np.full((len(src_ids), self.fixed_len), sv.pad_id,
+                                  np.int32)
+                trg_arr = np.full((len(trg_ids), self.fixed_len + 2),
+                                  tv.pad_id, np.int32)
+                for i, t in enumerate(src_ids):
+                    src_arr[i, : min(len(t), self.fixed_len)] = \
+                        t[: self.fixed_len]
+                for i, t in enumerate(trg_ids):
+                    trg_arr[i, : min(len(t), self.fixed_len + 2)] = \
+                        t[: self.fixed_len + 2]
+                batch: Dict[str, np.ndarray] = {"src": src_arr,
+                                                "trg": trg_arr}
+            else:
+                batch = {
+                    "src": pad_batch(src_ids, sv.pad_id, self.bucket),
+                    "trg": pad_batch(trg_ids, tv.pad_id, self.bucket),
+                }
             if "econds" in rows[0]:
                 batch["econds"] = np.stack([r["econds"] for r in rows])
                 batch["dconds"] = np.stack([r["dconds"] for r in rows])

@@ -147,6 +147,35 @@ def property_error_stats(gen_props: np.ndarray, target: np.ndarray,
     return out
 
 
+def frechet_descriptor_distance(gen: Sequence[str], ref: Sequence[str],
+                                n_jobs: int = 1) -> float:
+    """Frechet distance between descriptor-space Gaussians — the
+    in-repo stand-in for FCD (which needs ChemNet activations):
+    d^2 = |mu1-mu2|^2 + Tr(C1 + C2 - 2(C1 C2)^{1/2}) over the
+    physchem descriptor vector (eval/kldiv.py feature set),
+    z-normalized by the reference statistics."""
+    from gctplus_tpu.eval.kldiv import _descriptor_matrix
+
+    g = _descriptor_matrix(gen, n_jobs)
+    r = _descriptor_matrix(ref, n_jobs)
+    if len(g) < 2 or len(r) < 2:
+        return float("nan")
+    scale = r.std(axis=0)
+    scale[scale == 0] = 1.0
+    g = (g - r.mean(axis=0)) / scale
+    r = (r - r.mean(axis=0)) / scale
+    mu1, mu2 = g.mean(axis=0), r.mean(axis=0)
+    c1 = np.cov(g, rowvar=False)
+    c2 = np.cov(r, rowvar=False)
+    import scipy.linalg
+    covmean = scipy.linalg.sqrtm(c1 @ c2)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    d2 = float(np.sum((mu1 - mu2) ** 2)
+               + np.trace(c1 + c2 - 2.0 * covmean))
+    return max(0.0, d2)
+
+
 def fcd(gen: Sequence[str], ref: Sequence[str]):
     """Frechet ChemNet Distance — requires the pretrained ChemNet
     weights, a data artifact MOSES downloads at install time; no

@@ -44,9 +44,15 @@ def _make_loader(df, args, src_vocab, trg_vocab, shuffle, n_data=1):
     ds = SmilesDataset(df["src"].tolist(), src_vocab, trg_vocab,
                        properties=props, scaffolds=scaffolds,
                        randomize_prob=args.randomize_prob, seed=args.seed)
+    # fixed_seqlen (default max_strlen=80): one static shape -> one XLA
+    # compile for the whole training run; set -fixed_seqlen 0 to use
+    # bucketed dynamic lengths instead
+    fixed = getattr(args, "fixed_seqlen", 80) or None
+    if fixed and args.use_scaffold:
+        fixed = min(2 * fixed + 1, 178)  # scaffold + <sep> + smiles
     return BatchLoader(ds, args.batch_size, use_scaffold=args.use_scaffold,
                        shuffle=shuffle, seed=args.seed, drop_last=shuffle,
-                       pad_to_multiple=n_data)
+                       pad_to_multiple=n_data, fixed_len=fixed)
 
 
 def train_task(args) -> None:
@@ -61,8 +67,10 @@ def train_task(args) -> None:
     train_df, valid_df = _read_prepared(args)
     train_loader = _make_loader(train_df, args, src_vocab, trg_vocab, True,
                                 n_data)
-    valid_loader = _make_loader(valid_df, args, src_vocab, trg_vocab, False,
-                                n_data)
+    valid_loader = None
+    if not getattr(args, "skip_valid", False):
+        valid_loader = _make_loader(valid_df, args, src_vocab, trg_vocab,
+                                    False, n_data)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     model, cfg = build_model(

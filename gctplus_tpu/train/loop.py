@@ -86,9 +86,12 @@ def decode_check(logits_mol: np.ndarray, trg_vocab, rng=None, n_rows: int = 8):
 def run_epoch(step_fn, state: Optional[TrainState], params, loader, beta,
               rng, log, train: bool, eval_fn=None, device_put_fn=None):
     """Hot loop (trainer1.py:71-156). Returns (state, history)."""
-    history: Dict[str, List[float]] = {
-        "RCE": [], "KLD": [], "LOSS": [], "BETA": [], "LR": []}
+    # metrics stay on device during the loop (a per-step host fetch
+    # would serialize the pipeline — worst through remote tunnels);
+    # one stacked transfer at epoch end
+    device_hist: Dict[str, list] = {"RCE": [], "KLD": [], "LOSS": [], "LR": []}
     t_start = time.time()
+    n_batches = 0
     for i, batch in enumerate(loader):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if device_put_fn is not None:
@@ -98,17 +101,18 @@ def run_epoch(step_fn, state: Optional[TrainState], params, loader, beta,
             state, aux = step_fn(state, batch, beta, sub)
         else:
             aux = eval_fn(params, batch, beta, sub)
-        history["RCE"].append(float(aux["RCE"]))
-        history["KLD"].append(float(aux["KLD"]))
-        history["LOSS"].append(float(aux["LOSS"]))
-        history["BETA"].append(float(beta))
-        history["LR"].append(float(aux.get("LR", 0.0)))
+        for k in device_hist:
+            device_hist[k].append(aux.get(k, jnp.zeros(())))
+        n_batches += 1
         if log and (i + 1) % 50 == 0:
-            log.info(
-                f"{i+1}/{len(loader)}\tRCE: {history['RCE'][-1]:.5f}\t"
-                f"KLD: {history['KLD'][-1]:.5f}\t"
-                f"LOSS: {history['LOSS'][-1]:.5f}\t"
-                f"TIME(s): {time.time()-t_start:.1f}")
+            log.info(f"{i+1}/{len(loader)}\t"
+                     f"LOSS: {float(aux['LOSS']):.5f}\t"
+                     f"TIME(s): {time.time()-t_start:.1f}")
+    history: Dict[str, List[float]] = {
+        k: np.asarray(jnp.stack(v)).tolist() if v else []
+        for k, v in device_hist.items()}
+    history["BETA"] = [float(beta)] * n_batches
+    history = {k: history[k] for k in ("RCE", "KLD", "LOSS", "BETA", "LR")}
     return state, history
 
 

@@ -44,7 +44,7 @@ def main():
         compute_dtype="bfloat16",
         N=4, H=8, d_ff=1024, d_model=256, latent_dim=64, dropout=0.1,
         variational=True, use_cond2dec=False, use_cond2lat=False,
-        get_attn=False)
+        get_attn=False, skip_valid=True, fixed_seqlen=80)
 
     # resumable: continue from the last saved epoch checkpoint
     import re
