@@ -10,3 +10,21 @@ descriptors) replacing the reference's RDKit dependency.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first-compile latency dominates
+# short jobs (and is severe through remote-compile tunnels); cached
+# binaries make restarts/resumes near-instant. Opt out by setting
+# GCTPLUS_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("GCTPLUS_NO_COMPILE_CACHE"):
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/gctplus_jax_cache")
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -401,6 +401,16 @@ def QED(mol: Mol) -> float:
 # SAS — Ertl-Schuffenhauer complexity terms (fragment table omitted)
 # ---------------------------------------------------------------------------
 
+# optional corpus-derived fragment table (chem/sa_fragments.py);
+# loaded by preprocess/task plumbing via set_sa_fragment_scores
+_SA_FRAGMENT_SCORES: Optional[Dict[str, float]] = None
+
+
+def set_sa_fragment_scores(scores: Optional[Dict[str, float]]) -> None:
+    global _SA_FRAGMENT_SCORES
+    _SA_FRAGMENT_SCORES = scores
+
+
 def SAS(mol: Mol) -> float:
     n = mol.num_atoms()
     rings = mol.ring_info()
@@ -416,12 +426,18 @@ def SAS(mol: Mol) -> float:
     bridge_penalty = math.log10(n_bridge + 1)
     macro_penalty = math.log10(2) if n_macro > 0 else 0.0
 
-    # fragment-frequency score replaced by a smooth density prior
-    frag_score = -0.5 - 0.05 * max(0, n - 20)
+    if _SA_FRAGMENT_SCORES:
+        from gctplus_tpu.chem.sa_fragments import fragment_score
+        frag_score = fragment_score(mol, _SA_FRAGMENT_SCORES)
+    else:
+        # no fragment table loaded: smooth density prior fallback
+        frag_score = 1.5 - 0.02 * max(0, n - 20)
 
-    score = (-frag_score + size_penalty + stereo_penalty + spiro_penalty
-             + bridge_penalty + macro_penalty)
-    # map to 1..10 like the original
+    # raw score: common fragments push positive (easy), complexity
+    # penalties push negative (hard) — Ertl's score1 - score2 shape
+    score = (frag_score - size_penalty - stereo_penalty - spiro_penalty
+             - bridge_penalty - macro_penalty)
+    # map to 1..10 (low = easy to synthesize), like the original
     smin, smax = -4.0, 2.5
     sa = 11.0 - (score - smin + 1) / (smax - smin) * 9.0
     if sa > 8.0:
@@ -453,10 +469,42 @@ def NP(mol: Mol) -> float:
     return 0.0
 
 
+def BertzCT(mol: Mol) -> float:
+    """Bertz-style graph complexity: information content of the atom
+    equivalence-class partition (from canonical-rank refinement) plus a
+    bond-variety term. Not RDKit's exact BertzCT formula, but a
+    consistent complexity index for distribution-matching metrics
+    (used by the GuacaMol-style KL score)."""
+    n = mol.num_atoms()
+    if n <= 1:
+        return 0.0
+    from collections import Counter
+
+    from gctplus_tpu.chem.canonical import canonical_ranks
+
+    ranks = canonical_ranks(mol)
+    sizes = Counter(ranks).values()
+    i_atoms = n * math.log2(n) - sum(s * math.log2(s) for s in sizes if s)
+
+    bond_classes = Counter()
+    for b in mol.bonds:
+        key = (b.order, b.aromatic,
+               tuple(sorted((mol.atoms[b.a1].symbol, mol.atoms[b.a2].symbol))))
+        bond_classes[key] += 1
+    e = len(mol.bonds)
+    i_bonds = 0.0
+    if e > 1:
+        i_bonds = e * math.log2(e) - sum(
+            c * math.log2(c) for c in bond_classes.values() if c)
+    # heteroatom information term
+    het = sum(1 for a in mol.atoms if a.symbol != "C")
+    return float(2.0 * i_atoms + i_bonds + 2.0 * het)
+
+
 PROPERTY_FN = {
     "logP": logP, "tPSA": tPSA, "QED": QED, "SAS": SAS, "NP": NP,
     "MW": MW, "HAC": HAC, "HBA": HBA, "HBD": HBD, "RBN": RBN,
-    "AIRN": AIRN, "ARRN": ARRN,
+    "AIRN": AIRN, "ARRN": ARRN, "BertzCT": BertzCT,
 }
 
 
@@ -470,3 +518,12 @@ def compute_properties(smiles: str, props: List[str]) -> Optional[Dict[str, floa
     if mol is None:
         return None
     return {p: PROPERTY_FN[p](mol) for p in props}
+
+
+def props_row(smiles: str, props) -> Optional[list]:
+    """Picklable worker for process-pool property sweeps
+    (use functools.partial(props_row, props=...))."""
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    return [PROPERTY_FN[p](mol) for p in props]

@@ -1,0 +1,81 @@
+"""Corpus-derived fragment scores for the SA (synthetic
+accessibility) descriptor.
+
+Ertl & Schuffenhauer's SA score combines a fragment-frequency term
+(precomputed over PubChem in the original / moses' fpscores artifact,
+unavailable offline) with complexity penalties. Here the fragment
+table is BUILT FROM THE TRAINING CORPUS at preprocess time — same
+method, different reference population (documented deviation):
+score_i = log10(count_i) - log10(count_max), i.e. the most common
+environment scores 0 and rare ones go negative.
+
+Fragments are radius-2 Morgan atom environments (the same hashes as
+chem/fingerprints.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import Counter
+from typing import Dict, Iterable, List, Optional
+
+from gctplus_tpu.chem.fingerprints import _h
+from gctplus_tpu.chem.mol import Mol
+from gctplus_tpu.chem.sanitize import mol_from_smiles
+
+UNSEEN_SCORE = -4.0
+
+
+def atom_environment_hashes(mol: Mol, radius: int = 2) -> List[int]:
+    """Final-radius Morgan environment hash per atom."""
+    cur = []
+    for a in mol.atoms:
+        cur.append(_h((a.symbol, a.charge, a.n_h, a.aromatic,
+                       len(mol.neighbors(a.idx)), a.isotope)))
+    for _ in range(radius):
+        nxt = []
+        for a in mol.atoms:
+            env = sorted(
+                (b.order, b.aromatic, cur[b.other(a.idx)])
+                for b in mol.bonds_of(a.idx))
+            nxt.append(_h((cur[a.idx], tuple(env))))
+        cur = nxt
+    return cur
+
+
+def build_fragment_scores(smiles: Iterable[str], radius: int = 2
+                          ) -> Dict[str, float]:
+    counts: Counter = Counter()
+    for smi in smiles:
+        mol = mol_from_smiles(smi)
+        if mol is None:
+            continue
+        counts.update(atom_environment_hashes(mol, radius))
+    if not counts:
+        return {}
+    # offset so the most common environment scores +2.3 (calibrated so
+    # typical drug-like molecules land in the 1.5-3.5 SAS band like the
+    # original PubChem-derived table)
+    log_max = math.log10(max(counts.values()))
+    return {str(h): round(math.log10(c) - log_max + 2.3, 4)
+            for h, c in counts.items()}
+
+
+def save_fragment_scores(scores: Dict[str, float], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(scores, f)
+
+
+def load_fragment_scores(path: str) -> Dict[str, float]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def fragment_score(mol: Mol, scores: Dict[str, float],
+                   radius: int = 2) -> float:
+    """Mean per-atom fragment contribution (Ertl's score1)."""
+    hashes = atom_environment_hashes(mol, radius)
+    if not hashes:
+        return UNSEEN_SCORE
+    return sum(scores.get(str(h), UNSEEN_SCORE) for h in hashes) / len(hashes)

@@ -118,6 +118,13 @@ def preprocess(save_folder: str,
     pd.DataFrame({"toklen": toklens}).to_csv(
         os.path.join(util, "toklen_list.csv"), index=False)
 
+    # corpus-derived SA fragment table (chem/sa_fragments.py): the
+    # offline analog of moses' PubChem fpscores artifact
+    from gctplus_tpu.chem.sa_fragments import (
+        build_fragment_scores, save_fragment_scores)
+    sa_scores = build_fragment_scores(frames["train"]["smiles"])
+    save_fragment_scores(sa_scores, os.path.join(util, "sa_fragments.json"))
+
     # prepared train/test csvs (preprocess.py:135-166)
     for name in ("train", "test"):
         if name not in frames:

@@ -5,10 +5,10 @@ S = mean(exp(-KL)) over physchem descriptor distributions between
 generated and reference molecules, plus the internal-similarity
 distribution; the best epoch maximizes S (README.md:105-109).
 
-Descriptors: the guacamol set minus BertzCT (whose complexity index
-needs a graph-entropy implementation — future work):
-logP, MW, tPSA, HBA, HBD, RBN, AIRN, ARRN (+ nearest-neighbor
-similarity distribution). KL is histogram-based with shared bins.
+Descriptors: the guacamol 9-descriptor set — logP, MW, tPSA, HBA,
+HBD, RBN, AIRN, ARRN, BertzCT (Bertz-style complexity; see
+chem/descriptors.py) — plus the nearest-neighbor similarity
+distribution. KL is histogram-based with shared bins.
 """
 
 from __future__ import annotations
@@ -22,17 +22,17 @@ from gctplus_tpu.chem.fingerprints import bulk_tanimoto_matrix, smiles_to_morgan
 from gctplus_tpu.chem.mapper import pmap
 from gctplus_tpu.chem.sanitize import mol_from_smiles
 
-KLDIV_DESCRIPTORS = ["logP", "MW", "tPSA", "HBA", "HBD", "RBN", "AIRN", "ARRN"]
+KLDIV_DESCRIPTORS = ["logP", "MW", "tPSA", "HBA", "HBD", "RBN", "AIRN",
+                     "ARRN", "BertzCT"]
 
 
 def _descriptor_matrix(smiles: Sequence[str], n_jobs: int = 1) -> np.ndarray:
-    def row(smi):
-        mol = mol_from_smiles(smi)
-        if mol is None:
-            return None
-        return [PROPERTY_FN[d](mol) for d in KLDIV_DESCRIPTORS]
+    from functools import partial
 
-    vals = [v for v in pmap(row, smiles, n_jobs) if v is not None]
+    from gctplus_tpu.chem.descriptors import props_row
+
+    vals = [v for v in pmap(partial(props_row, props=KLDIV_DESCRIPTORS),
+                            smiles, n_jobs) if v is not None]
     return np.asarray(vals, float) if vals else np.zeros((0, len(KLDIV_DESCRIPTORS)))
 
 

@@ -117,11 +117,13 @@ def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
                      n_jobs: int = 1) -> Dict[str, float]:
     """SSF (scaffold-similarity == 1 fraction) and sim80
     (Inference/sca_sampling.py:221-232), over valid molecules."""
+    from functools import partial
+
     valid = [s for s in canonicalize_all(gen, n_jobs) if s is not None]
     if not valid:
         return {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0}
-    sims = pmap(lambda s: murcko_scaffold_similarity(s, target_scaffold), valid,
-                n_jobs)
+    sims = pmap(partial(murcko_scaffold_similarity, smi2=target_scaffold),
+                valid, n_jobs)
     sims = [s for s in sims if s is not None]
     if not sims:
         return {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0}

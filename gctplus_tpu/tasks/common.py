@@ -37,6 +37,15 @@ def load_toklen(util_folder: str) -> np.ndarray:
     return df[col].to_numpy()
 
 
+def load_sa_fragments(util_folder: str) -> None:
+    """Activate the corpus-derived SA fragment table when present."""
+    path = os.path.join(util_folder, "sa_fragments.json")
+    if os.path.exists(path):
+        from gctplus_tpu.chem.descriptors import set_sa_fragment_scores
+        from gctplus_tpu.chem.sa_fragments import load_fragment_scores
+        set_sa_fragment_scores(load_fragment_scores(path))
+
+
 def load_params_any(model, cfg, model_path: str, model_type: str):
     """Load .msgpack (ours) or .pt (reference torch) checkpoints."""
     if model_path.endswith(".pt"):
@@ -55,6 +64,7 @@ def build_sampler(args, log=None) -> BaseSampler:
     plus model_opts fields; mirrors get_sampler (build_model.py:90-116)."""
     src_vocab, trg_vocab = load_vocabs(args.util_folder, args.model_type)
     toklen = load_toklen(args.util_folder)
+    load_sa_fragments(args.util_folder)
     scaler = None
     if args.model_type in _NEEDS_SCALER:
         scaler = load_scaler(args.util_folder,

@@ -62,13 +62,12 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
             row["novel"] = novelty(smiles, train, args.n_jobs)
 
         # property errors over valid molecules
-        def prow(smi):
-            mol = mol_from_smiles(smi)
-            if mol is None:
-                return None
-            return [PROPERTY_FN[p](mol) for p in props]
+        from functools import partial
 
-        vals = [v for v in pmap(prow, smiles, args.n_jobs) if v is not None]
+        from gctplus_tpu.chem.descriptors import props_row
+
+        vals = [v for v in pmap(partial(props_row, props=props), smiles,
+                                args.n_jobs) if v is not None]
         if vals:
             vals = np.asarray(vals)
             row.update(property_error_stats(

@@ -61,14 +61,12 @@ def psca_sampling(args, scaffold_source: Sequence[str], log=None
             # molgpt validity: valid AND scaffold-sim >= 0.8
             row["valid_molgpt"] = row["valid"] * sm["sim80"]
 
-            def prow(smi):
-                mol = mol_from_smiles(smi)
-                if mol is None:
-                    return None
-                return [PROPERTY_FN[p](mol) for p in props]
+            from functools import partial
 
-            vals = [v for v in pmap(prow, smiles, args.n_jobs)
-                    if v is not None]
+            from gctplus_tpu.chem.descriptors import props_row
+
+            vals = [v for v in pmap(partial(props_row, props=props),
+                                    smiles, args.n_jobs) if v is not None]
             if vals:
                 row.update(property_error_stats(
                     np.asarray(vals), np.asarray(combo)[None, :], props))

@@ -25,13 +25,12 @@ DESCRIPTORS = ["logP", "tPSA", "QED", "MW", "SAS", "NP", "HAC", "HBA",
 
 
 def _compute_props(smiles, props, n_jobs):
-    def row(smi):
-        mol = mol_from_smiles(smi)
-        if mol is None:
-            return [np.nan] * len(props)
-        return [PROPERTY_FN[p](mol) for p in props]
+    from functools import partial
 
-    vals = pmap(row, smiles, n_jobs)
+    from gctplus_tpu.chem.descriptors import props_row
+
+    vals = pmap(partial(props_row, props=props), smiles, n_jobs)
+    vals = [v if v is not None else [np.nan] * len(props) for v in vals]
     return pd.DataFrame(vals, columns=props)
 
 
