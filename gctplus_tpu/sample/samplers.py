@@ -42,7 +42,8 @@ class BaseSampler:
                  scaler=None, max_strlen: int = 80,
                  decode_algo: str = "multinomial",
                  top_k: Optional[int] = None, seed: int = 0,
-                 batch_size: int = 512, lat_bucket: int = 16):
+                 batch_size: int = 512, lat_bucket: int = 16,
+                 mesh=None):
         self.model = model
         self.cfg = cfg
         self.params = params
@@ -60,6 +61,20 @@ class BaseSampler:
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.cond_dim = cfg.nconds
+        # optional data-parallel sampling: shard the batch axis over the
+        # 'data' mesh axis; the whole KV-cached decode then runs SPMD
+        # across chips (no reference counterpart — DDP was train-only)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self._batch_sharding = None
+
+    def _shard(self, x):
+        if self._batch_sharding is None:
+            return x
+        return jax.device_put(x, self._batch_sharding)
 
     # --- helpers -------------------------------------------------------
     def _next_key(self):
@@ -106,9 +121,11 @@ class BaseSampler:
                       self.cfg.max_seq_len)
         stop = np.minimum(toklen + extra_lat, lat_len)
 
-        dc = None if dconds is None else jnp.asarray(dconds, jnp.float32)
+        dc = None if dconds is None else self._shard(
+            jnp.asarray(dconds, jnp.float32))
         toks = self.engine.sample_prior(
-            self.params, jnp.asarray(prefix), P, lat_len, stop, dc,
+            self.params, self._shard(jnp.asarray(prefix)), P, lat_len,
+            self._shard(jnp.asarray(stop, jnp.int32)), dc,
             self._next_key(), max_new=self.max_strlen - 1,
             decode_algo=self.decode_algo, top_k=self.top_k,
             eos_id=self.trg_vocab.eos_id, pad_id=self.trg_vocab.pad_id)

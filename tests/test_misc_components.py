@@ -149,3 +149,27 @@ def test_sharded_sampling_on_mesh():
     out = eng.sample_prior(params, prefix, 1, 12, stop, None,
                            jax.random.PRNGKey(0), max_new=8)
     assert out.shape == (bs, 9)
+
+
+def test_sampler_with_mesh():
+    """Variant sampler end-to-end with a sharded batch over the CPU mesh."""
+    from gctplus_tpu.chem.vocab import Vocab
+    from gctplus_tpu.models import ModelConfig, Vaetf
+    from gctplus_tpu.models.registry import init_params
+    from gctplus_tpu.parallel import make_mesh
+    from gctplus_tpu.sample.samplers import VaetfSampler
+
+    toks = [list("CNOScnos") + ["(", ")", "=", "1"]]
+    src = Vocab.from_corpus_tokens(toks, with_sos_eos=False, add_sep=False)
+    trg = Vocab.from_corpus_tokens(toks, with_sos_eos=True, add_sep=False)
+    cfg = ModelConfig(src_vocab=len(src), trg_vocab=len(trg), N=1,
+                      d_model=32, d_ff=64, heads=4, latent_dim=8,
+                      dropout=0.0, nconds=0)
+    model = Vaetf(cfg)
+    params = init_params(model, cfg)
+    mesh = make_mesh(n_data=8, n_model=1)
+    s = VaetfSampler(model, cfg, params, src, trg,
+                     toklen_data=np.full(100, 12), batch_size=16,
+                     max_strlen=16, mesh=mesh)
+    smiles, toklen = s.sample_smiles(16)
+    assert len(smiles) == 16
