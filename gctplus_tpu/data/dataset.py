@@ -68,17 +68,17 @@ class SmilesDataset:
         return len(self.smiles)
 
     def __getitem__(self, i: int) -> Dict:
+        """Returns STRINGS (+ conditions); tokenization happens in the
+        collate step (BatchLoader), where the native C++ encoder can
+        take the whole batch in one call."""
         smi = self.smiles[i]
         if self.randomize_prob > 0 and self.rng.random() < self.randomize_prob:
             r = randomize_smiles(smi, self.rng)
             if r is not None:
                 smi = r
-        toks = self.tokenizer(smi)
-        item: Dict = {"src": toks, "trg": toks}
+        item: Dict = {"smiles": smi}
         if self.scaffolds is not None:
-            sca = self.tokenizer(self.scaffolds[i] or "")
-            item["src_scaffold"] = sca
-            item["trg_scaffold"] = sca
+            item["scaffold"] = self.scaffolds[i] or ""
         if self.properties is not None:
             item["econds"] = self.properties[i]
             item["dconds"] = self.properties[i]
@@ -98,7 +98,8 @@ class BatchLoader:
                  seed: int = 0, rank: int = 0, world_size: int = 1,
                  bucket: int = 8, drop_last: bool = False,
                  pad_to_multiple: int = 1, length_bucketing: bool = False,
-                 fixed_len: Optional[int] = None):
+                 fixed_len: Optional[int] = None,
+                 use_native: Optional[bool] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.use_scaffold = use_scaffold
@@ -114,6 +115,21 @@ class BatchLoader:
         # final eval batch; training uses drop_last instead)
         self.pad_to_multiple = pad_to_multiple
         self.length_bucketing = length_bucketing
+        # native C++ tokenize+encode for the collate hot path (exact
+        # same token grammar; tested equivalent in test_native_tokenizer)
+        self._native_src = self._native_trg = None
+        if use_native is not False:
+            try:
+                from gctplus_tpu.native import NativeEncoder, native_available
+                if native_available():
+                    self._native_src = NativeEncoder(dataset.src_vocab)
+                    self._native_trg = NativeEncoder(dataset.trg_vocab)
+                elif use_native:
+                    raise RuntimeError("native encoder requested but "
+                                       "unavailable")
+            except Exception:
+                if use_native:
+                    raise
         # fixed_len pads every batch to one static shape: ONE XLA
         # compilation for the whole run (recompiles are expensive,
         # especially through a remote-execution tunnel); costs padding
@@ -176,6 +192,7 @@ class BatchLoader:
         idx = self.bucketed_indices() if self.length_bucketing \
             else self._indices()
         sv, tv = self.ds.src_vocab, self.ds.trg_vocab
+        tokenizer = self.ds.tokenizer
         for start in range(0, len(idx), self.batch_size):
             rows = [self.ds[i] for i in idx[start: start + self.batch_size]]
             if self.drop_last and len(rows) < self.batch_size:
@@ -185,31 +202,49 @@ class BatchLoader:
                 need = m - len(rows) % m
                 rows = rows + [rows[k % len(rows)] for k in range(need)]
             if self.use_scaffold:
-                src_tok = [r["src_scaffold"] + ["<sep>"] + r["src"] for r in rows]
-                trg_tok = [r["trg_scaffold"] + ["<sep>"] + r["trg"] for r in rows]
+                # scaffold + <sep> + smiles on both sides (collate_fn.py:104-124)
+                strings = [r["scaffold"] + "<sep>" + r["smiles"] for r in rows]
             else:
-                src_tok = [r["src"] for r in rows]
-                trg_tok = [r["trg"] for r in rows]
-            src_ids = [sv.encode(t) for t in src_tok]
-            trg_ids = [[tv.sos_id] + tv.encode(t) + [tv.eos_id] for t in trg_tok]
-            if self.fixed_len is not None:
-                src_arr = np.full((len(src_ids), self.fixed_len), sv.pad_id,
-                                  np.int32)
-                trg_arr = np.full((len(trg_ids), self.fixed_len + 2),
-                                  tv.pad_id, np.int32)
-                for i, t in enumerate(src_ids):
-                    src_arr[i, : min(len(t), self.fixed_len)] = \
-                        t[: self.fixed_len]
-                for i, t in enumerate(trg_ids):
-                    trg_arr[i, : min(len(t), self.fixed_len + 2)] = \
-                        t[: self.fixed_len + 2]
+                strings = [r["smiles"] for r in rows]
+
+            if self._native_src is not None:
+                max_src = self.fixed_len or 256
+                max_trg = (self.fixed_len + 2) if self.fixed_len else 258
+                src_arr, src_lens = self._native_src.encode_batch(
+                    strings, max_src, handle_sep=self.use_scaffold)
+                trg_arr, trg_lens = self._native_trg.encode_batch(
+                    strings, max_trg, add_sos=True, add_eos=True,
+                    handle_sep=self.use_scaffold)
+                if self.fixed_len is None:
+                    src_arr = src_arr[:, : _round_up(int(src_lens.max()),
+                                                     self.bucket)]
+                    trg_arr = trg_arr[:, : _round_up(int(trg_lens.max()),
+                                                     self.bucket)]
                 batch: Dict[str, np.ndarray] = {"src": src_arr,
                                                 "trg": trg_arr}
             else:
-                batch = {
-                    "src": pad_batch(src_ids, sv.pad_id, self.bucket),
-                    "trg": pad_batch(trg_ids, tv.pad_id, self.bucket),
-                }
+                toks = [tokenizer._with_sep(s) if self.use_scaffold
+                        else tokenizer(s) for s in strings]
+                src_ids = [sv.encode(t) for t in toks]
+                trg_ids = [[tv.sos_id] + tv.encode(t) + [tv.eos_id]
+                           for t in toks]
+                if self.fixed_len is not None:
+                    src_arr = np.full((len(src_ids), self.fixed_len),
+                                      sv.pad_id, np.int32)
+                    trg_arr = np.full((len(trg_ids), self.fixed_len + 2),
+                                      tv.pad_id, np.int32)
+                    for i, t in enumerate(src_ids):
+                        src_arr[i, : min(len(t), self.fixed_len)] = \
+                            t[: self.fixed_len]
+                    for i, t in enumerate(trg_ids):
+                        trg_arr[i, : min(len(t), self.fixed_len + 2)] = \
+                            t[: self.fixed_len + 2]
+                    batch = {"src": src_arr, "trg": trg_arr}
+                else:
+                    batch = {
+                        "src": pad_batch(src_ids, sv.pad_id, self.bucket),
+                        "trg": pad_batch(trg_ids, tv.pad_id, self.bucket),
+                    }
             if "econds" in rows[0]:
                 batch["econds"] = np.stack([r["econds"] for r in rows])
                 batch["dconds"] = np.stack([r["dconds"] for r in rows])

@@ -37,6 +37,7 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
     sampler = build_sampler(args, log)
 
     rows = []
+    cond_values = {p: {} for p in props}  # prop -> target -> gen values
     for combo in target_prop_combinations():
         tag = "_".join(f"{v:g}" for v in combo)
         gen_path = os.path.join(save_folder, f"gen_{tag}.csv")
@@ -70,6 +71,9 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
                                 args.n_jobs) if v is not None]
         if vals:
             vals = np.asarray(vals)
+            for j, p in enumerate(props):
+                cond_values[p].setdefault(combo[j], []).extend(
+                    vals[:, j].tolist())
             row.update(property_error_stats(
                 vals, np.asarray(combo)[None, :], props))
             in_tol = np.ones(len(vals), bool)
@@ -82,5 +86,14 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
 
     out = pd.DataFrame(rows)
     out.to_csv(os.path.join(save_folder, "metric.csv"), index=False)
+    # conditional distribution plots per property (p_sampling.py:268-318)
+    try:
+        from gctplus_tpu.eval.plots import plot_conditional_property
+        for p in props:
+            plot_conditional_property(
+                {t: np.asarray(v) for t, v in cond_values[p].items()},
+                p, save_folder)
+    except Exception:
+        pass
     log.info(f"mean valid: {out['valid'].mean():.4f}")
     return out

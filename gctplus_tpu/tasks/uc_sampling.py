@@ -66,4 +66,16 @@ def uc_sampling(args, train=None, test=None, log=None) -> pd.DataFrame:
         props.to_csv(prop_path, index=False)
         log.info(f"property distributions -> {prop_path}")
 
+    # gen-vs-test distribution overlays (uc_sampling.py:158-191)
+    try:
+        from gctplus_tpu.eval.plots import plot_property_distributions
+        gen_props = pd.read_csv(prop_path)
+        ref_props = None
+        if test is not None:
+            ref_props = _compute_props(list(test)[:5000], DESCRIPTORS,
+                                       args.n_jobs)
+        plot_property_distributions(gen_props, ref_props, save_folder)
+    except Exception as e:
+        log.warning(f"distribution plots skipped: {e}")
+
     return pd.read_csv(metric_path)

@@ -173,3 +173,31 @@ def test_sampler_with_mesh():
                      max_strlen=16, mesh=mesh)
     smiles, toklen = s.sample_smiles(16)
     assert len(smiles) == 16
+
+
+def test_native_and_python_collate_agree():
+    from gctplus_tpu.chem.tokenizer import SmilesTokenizer
+    from gctplus_tpu.chem.vocab import Vocab
+    from gctplus_tpu.data.dataset import BatchLoader, SmilesDataset
+    from gctplus_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    smiles = ["CC(=O)Nc1ccc(O)cc1", "BrCCl", "c1ccc2ccccc2c1", "C%12CC%12",
+              "O=S(=O)(N)c1ccccc1"]
+    scaffolds = ["c1ccccc1", "", "c1ccc2ccccc2c1", "C1CC1", "c1ccccc1"]
+    tok = SmilesTokenizer()
+    corpus = [tok(s) for s in smiles + scaffolds if s]
+    src = Vocab.from_corpus_tokens(corpus, with_sos_eos=False, add_sep=True)
+    trg = Vocab.from_corpus_tokens(corpus, with_sos_eos=True, add_sep=True)
+
+    for use_scaffold in (False, True):
+        for fixed in (None, 40):
+            kw = dict(batch_size=5, use_scaffold=use_scaffold,
+                      shuffle=False, fixed_len=fixed)
+            ds = SmilesDataset(smiles, src, trg,
+                               scaffolds=scaffolds if use_scaffold else None)
+            b_py = next(iter(BatchLoader(ds, use_native=False, **kw)))
+            b_nat = next(iter(BatchLoader(ds, use_native=True, **kw)))
+            np.testing.assert_array_equal(b_py["src"], b_nat["src"])
+            np.testing.assert_array_equal(b_py["trg"], b_nat["trg"])
