@@ -97,6 +97,16 @@ def train_task(args) -> None:
              "use_cond2lat": args.use_cond2lat, "variational": True,
              "nconds": len(args.property_list)}
 
+    profile_dir = getattr(args, "profile_dir", None)
+    from gctplus_tpu.utils.profiling import trace
+    with trace(profile_dir):
+        _run_training(args, model, cfg, params, train_loader, valid_loader,
+                      src_vocab, hyper, log, device_put_fn)
+    log.info("training complete")
+
+
+def _run_training(args, model, cfg, params, train_loader, valid_loader,
+                  src_vocab, hyper, log, device_put_fn):
     train_model(
         model, cfg, params, train_loader, valid_loader,
         model_folder=args.model_folder, num_epoch=args.num_epoch,
@@ -107,7 +117,6 @@ def train_task(args) -> None:
         lr_WarmUpSteps=args.lr_WarmUpSteps, lr_beta1=args.lr_beta1,
         lr_beta2=args.lr_beta2, lr_eps=args.lr_eps, seed=args.seed,
         log=log, device_put_fn=device_put_fn, hyper=hyper)
-    log.info("training complete")
 
 
 def main(argv=None):

@@ -105,14 +105,26 @@ def run_epoch(step_fn, state: Optional[TrainState], params, loader, beta,
             device_hist[k].append(aux.get(k, jnp.zeros(())))
         n_batches += 1
         if log and (i + 1) % 50 == 0:
+            loss_now = float(aux["LOSS"])
+            # failure detection (no reference counterpart, SURVEY.md §5):
+            # divergence surfaces immediately instead of poisoning the
+            # rest of the epoch
+            if not np.isfinite(loss_now):
+                raise FloatingPointError(
+                    f"non-finite loss at batch {i+1}: {loss_now} "
+                    "(check LR warmup / dtype / data)")
             log.info(f"{i+1}/{len(loader)}\t"
-                     f"LOSS: {float(aux['LOSS']):.5f}\t"
+                     f"LOSS: {loss_now:.5f}\t"
                      f"TIME(s): {time.time()-t_start:.1f}")
     history: Dict[str, List[float]] = {
         k: np.asarray(jnp.stack(v)).tolist() if v else []
         for k, v in device_hist.items()}
     history["BETA"] = [float(beta)] * n_batches
     history = {k: history[k] for k in ("RCE", "KLD", "LOSS", "BETA", "LR")}
+    if history["LOSS"] and not np.isfinite(history["LOSS"]).all():
+        bad = int(np.argmax(~np.isfinite(history["LOSS"])))
+        raise FloatingPointError(
+            f"non-finite loss first seen at batch {bad+1}/{n_batches}")
     return state, history
 
 
