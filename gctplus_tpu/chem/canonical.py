@@ -46,8 +46,9 @@ def _distance_profiles(mol: Mol, base_inv) -> List[tuple]:
     return profiles
 
 
-def canonical_ranks(mol: Mol) -> List[int]:
-    """Morgan-style iterative refinement; returns rank per atom."""
+def _partition_ranks(mol: Mol) -> List[int]:
+    """Order-independent refinement WITHOUT index tie-breaking; ties
+    that survive (rare) are left for the callers to resolve."""
     n = mol.num_atoms()
     ring_atoms = set()
     for ring in mol.ring_info():
@@ -64,36 +65,14 @@ def canonical_ranks(mol: Mol) -> List[int]:
     order = sorted(set(inv))
     ranks = [order.index(i) for i in inv]
 
-    for _ in range(2 * n + 2):
-        new_keys = []
-        for i in range(n):
-            nb = sorted(
-                (ranks[mol.bonds[bi].other(i)],
-                 mol.bonds[bi].order, mol.bonds[bi].aromatic)
-                for bi in mol._adj[i])
-            new_keys.append((ranks[i], tuple(nb)))
-        order = sorted(set(new_keys))
-        new_ranks = [order.index(k) for k in new_keys]
-        if new_ranks == ranks:
-            break
-        ranks = new_ranks
-
-    # break remaining ties deterministically, one at a time
-    while len(set(ranks)) < n:
-        seen: Dict[int, List[int]] = {}
-        for i, r in enumerate(ranks):
-            seen.setdefault(r, []).append(i)
-        tied = next(v for v in seen.values() if len(v) > 1)
-        chosen = min(tied)
-        ranks = [r * 2 for r in ranks]
-        ranks[chosen] -= 1
-        # re-refine
-        for _ in range(n + 1):
+    def refine(ranks):
+        for _ in range(2 * n + 2):
             new_keys = []
             for i in range(n):
                 nb = sorted(
                     (ranks[mol.bonds[bi].other(i)],
-                     mol.bonds[bi].order, mol.bonds[bi].aromatic)
+                     1.5 if mol.bonds[bi].aromatic
+                     else mol.bonds[bi].order)
                     for bi in mol._adj[i])
                 new_keys.append((ranks[i], tuple(nb)))
             order = sorted(set(new_keys))
@@ -101,7 +80,102 @@ def canonical_ranks(mol: Mol) -> List[int]:
             if new_ranks == ranks:
                 break
             ranks = new_ranks
+        return ranks
+
+    ranks = refine(ranks)
+
+    # ties after plain WL refinement: re-seed the invariants with
+    # rank-based distance profiles (order-independent) and refine
+    # again — separates non-equivalent atoms that 1-WL leaves tied, so
+    # the index tie-break below only ever sees true automorphisms
+    for _ in range(3):
+        if len(set(ranks)) == n:
+            break
+        profiles = _distance_profiles(mol, ranks)
+        inv = [(ranks[i], profiles[i]) for i in range(n)]
+        order = sorted(set(inv))
+        new_ranks = [order.index(k) for k in inv]
+        new_ranks = refine(new_ranks)
+        if new_ranks == ranks:
+            break
+        ranks = new_ranks
     return ranks
+
+
+def canonical_ranks(mol: Mol) -> List[int]:
+    """Partition refinement + min-index tie-break. Fast path; atoms in
+    surviving tied classes are usually automorphic. For a guaranteed
+    order-independent string use canonical_ranks_complete (the default
+    of write_smiles)."""
+    n = mol.num_atoms()
+    ranks = _partition_ranks(mol)
+    while len(set(ranks)) < n:
+        seen: Dict[int, List[int]] = {}
+        for i, r in enumerate(ranks):
+            seen.setdefault(r, []).append(i)
+        tied = next(v for r, v in sorted(seen.items()) if len(v) > 1)
+        chosen = min(tied)
+        ranks = [r * 2 for r in ranks]
+        ranks[chosen] -= 1
+        ranks = _refine_ranks(mol, ranks)
+    return ranks
+
+
+def _refine_ranks(mol: Mol, ranks: List[int]) -> List[int]:
+    n = mol.num_atoms()
+    for _ in range(2 * n + 2):
+        new_keys = []
+        for i in range(n):
+            nb = sorted(
+                (ranks[mol.bonds[bi].other(i)],
+                 1.5 if mol.bonds[bi].aromatic else mol.bonds[bi].order)
+                for bi in mol._adj[i])
+            new_keys.append((ranks[i], tuple(nb)))
+        order = sorted(set(new_keys))
+        new_ranks = [order.index(k) for k in new_keys]
+        if new_ranks == ranks:
+            break
+        ranks = new_ranks
+    return ranks
+
+
+def canonical_ranks_complete(mol: Mol, budget: int = 64) -> List[int]:
+    """Canonical ranking with exact tie handling: when refinement
+    leaves a tied class (WL + distance profiles are not a complete
+    graph invariant), branch on every member and keep the ranking that
+    writes the lexicographically smallest SMILES. Branch count is
+    bounded by `budget` leaf writes (drug-sized molecules rarely need
+    more than a handful)."""
+    n = mol.num_atoms()
+    base = _partition_ranks(mol)
+    if len(set(base)) == n:
+        return base
+
+    leaves = [0]
+    best: List[Optional[tuple]] = [None]  # (smiles, ranks)
+
+    def descend(ranks):
+        if leaves[0] >= budget:
+            return
+        if len(set(ranks)) == n:
+            leaves[0] += 1
+            s = write_smiles(mol, ranks)
+            if best[0] is None or s < best[0][0]:
+                best[0] = (s, ranks)
+            return
+        seen: Dict[int, List[int]] = {}
+        for i, r in enumerate(ranks):
+            seen.setdefault(r, []).append(i)
+        tied = next(v for r, v in sorted(seen.items()) if len(v) > 1)
+        for choice in tied:
+            boosted = [r * 2 for r in ranks]
+            boosted[choice] -= 1
+            descend(_refine_ranks(mol, boosted))
+
+    descend(base)
+    if best[0] is None:
+        return base
+    return best[0][1]
 
 
 def _needs_bracket(a, mol: Mol) -> bool:
@@ -154,7 +228,7 @@ def write_smiles(mol: Mol, ranks: Optional[List[int]] = None) -> str:
     """Graph -> SMILES via canonical DFS."""
     n = mol.num_atoms()
     if ranks is None:
-        ranks = canonical_ranks(mol)
+        ranks = canonical_ranks_complete(mol)
 
     visited: Set[int] = set()
     ring_bonds: Dict[Tuple[int, int], int] = {}

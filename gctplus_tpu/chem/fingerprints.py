@@ -39,7 +39,7 @@ def morgan_fingerprint(mol: Mol, n_bits: int = 1024, radius: int = 2) -> np.ndar
         nxt = []
         for a in mol.atoms:
             env = sorted(
-                (b.order, b.aromatic, cur[b.other(a.idx)])
+                (1.5 if b.aromatic else b.order, cur[b.other(a.idx)])
                 for b in mol.bonds_of(a.idx))
             code = _h((cur[a.idx], tuple(env)))
             nxt.append(code)
@@ -59,7 +59,7 @@ def path_fingerprint(mol: Mol, n_bits: int = 2048, max_len: int = 7) -> np.ndarr
         return (a.symbol, a.aromatic)
 
     def bond_code(b):
-        return (b.order, b.aromatic)
+        return (1.5 if b.aromatic else b.order,)
 
     n = mol.num_atoms()
     for start in range(n):

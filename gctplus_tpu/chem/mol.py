@@ -146,57 +146,132 @@ class Mol:
 
 
 def _cycle_basis(mol: Mol) -> List[List[int]]:
-    """SSSR-like ring set: for every non-tree (chord) edge, the
-    SHORTEST cycle through it (BFS with the chord removed). Gives the
-    expected small rings for fused drug-like systems (naphthalene ->
-    two 6-rings, not a 6+10 basis)."""
+    """Minimum cycle basis (Horton): candidate cycles are, for every
+    vertex v and edge (x, y), SP(v,x) + (x,y) + SP(y,v); candidates are
+    sorted by length and greedily selected while linearly independent
+    over GF(2) on edge-incidence vectors, until the cyclomatic number
+    is reached. Exact small rings for fused drug-like systems (the
+    previous chord heuristic could LOSE rings when two chords shared a
+    shortest cycle), and the resulting ring set is independent of atom
+    input order up to tie choices among equal-size rings."""
     import collections
 
     n = mol.num_atoms()
-    visited = [False] * n
-    tree_edges = set()
-    for root in range(n):
-        if visited[root]:
-            continue
-        dq = collections.deque([root])
-        visited[root] = True
+    m = len(mol.bonds)
+    if m < n:
+        n_comp = _n_components(mol)
+        if m - n + n_comp <= 0:
+            return []
+    n_comp = _n_components(mol)
+    dim = m - n + n_comp
+    if dim <= 0:
+        return []
+
+    # BFS shortest-path parents from every vertex
+    parents: List[Dict[int, int]] = []
+    dists: List[Dict[int, int]] = []
+    for src in range(n):
+        prev = {src: -1}
+        dist = {src: 0}
+        dq = collections.deque([src])
         while dq:
             u = dq.popleft()
             for bi in mol._adj[u]:
                 v = mol.bonds[bi].other(u)
-                if not visited[v]:
-                    visited[v] = True
-                    tree_edges.add((min(u, v), max(u, v)))
-                    dq.append(v)
-
-    rings: List[List[int]] = []
-    seen_rings = set()
-    for chord in mol.bonds:
-        e = (min(chord.a1, chord.a2), max(chord.a1, chord.a2))
-        if e in tree_edges:
-            continue
-        # BFS shortest path a1 -> a2 avoiding the chord itself
-        src, dst = chord.a1, chord.a2
-        prev = {src: -1}
-        dq = collections.deque([src])
-        while dq and dst not in prev:
-            u = dq.popleft()
-            for bi in mol._adj[u]:
-                b = mol.bonds[bi]
-                if b is chord:
-                    continue
-                v = b.other(u)
                 if v not in prev:
                     prev[v] = u
+                    dist[v] = dist[u] + 1
                     dq.append(v)
+        parents.append(prev)
+        dists.append(dist)
+
+    def path(src, dst):
+        prev = parents[src]
         if dst not in prev:
-            continue
-        path = [dst]
-        while path[-1] != src:
-            path.append(prev[path[-1]])
-        key = frozenset(path)
-        if len(path) >= 3 and key not in seen_rings:
-            seen_rings.add(key)
-            rings.append(path)
+            return None
+        out = [dst]
+        while out[-1] != src:
+            out.append(prev[out[-1]])
+        return out  # dst..src
+
+    edge_index = {}
+    for bi, b in enumerate(mol.bonds):
+        edge_index[(min(b.a1, b.a2), max(b.a1, b.a2))] = bi
+
+    # candidate cycles
+    seen = set()
+    candidates: List[Tuple[int, frozenset, List[int]]] = []
+    for v in range(n):
+        for b in mol.bonds:
+            x, y = b.a1, b.a2
+            px = path(v, x)
+            py = path(v, y)
+            if px is None or py is None:
+                continue
+            # paths must be disjoint except at v
+            sx, sy = set(px), set(py)
+            if sx & sy != {v}:
+                continue
+            cyc = px[:-1] + [v] + py[:-1][::-1]
+            # cyc: x..(v)..y, plus edge (x,y) closes it
+            if len(cyc) < 3:
+                continue
+            key = frozenset(cyc)
+            if key in seen:
+                continue
+            # verify it is a simple cycle (consecutive edges exist)
+            ok = True
+            for k in range(len(cyc)):
+                e = (min(cyc[k], cyc[(k + 1) % len(cyc)]),
+                     max(cyc[k], cyc[(k + 1) % len(cyc)]))
+                if e not in edge_index:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            seen.add(key)
+            candidates.append((len(cyc), key, cyc))
+
+    candidates.sort(key=lambda t: (t[0], sorted(t[1])))
+
+    # greedy GF(2) independence on edge vectors (pivot elimination)
+    pivots: Dict[int, int] = {}  # leading-bit -> row
+    rings: List[List[int]] = []
+    for _, key, cyc in candidates:
+        vec = 0
+        for k in range(len(cyc)):
+            e = (min(cyc[k], cyc[(k + 1) % len(cyc)]),
+                 max(cyc[k], cyc[(k + 1) % len(cyc)]))
+            vec |= 1 << edge_index[e]
+        red = vec
+        while red:
+            lb = red.bit_length()
+            if lb in pivots:
+                red ^= pivots[lb]
+            else:
+                pivots[lb] = red
+                rings.append(cyc)
+                break
+        if len(rings) == dim:
+            break
     rings.sort(key=len)
     return rings
+
+
+def _n_components(mol: Mol) -> int:
+    n = mol.num_atoms()
+    seen = set()
+    comp = 0
+    for s in range(n):
+        if s in seen:
+            continue
+        comp += 1
+        stack = [s]
+        seen.add(s)
+        while stack:
+            u = stack.pop()
+            for v in mol.neighbors(u):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+    return comp

@@ -37,7 +37,7 @@ def atom_environment_hashes(mol: Mol, radius: int = 2) -> List[int]:
         nxt = []
         for a in mol.atoms:
             env = sorted(
-                (b.order, b.aromatic, cur[b.other(a.idx)])
+                (1.5 if b.aromatic else b.order, cur[b.other(a.idx)])
                 for b in mol.bonds_of(a.idx))
             nxt.append(_h((cur[a.idx], tuple(env))))
         cur = nxt

@@ -149,3 +149,23 @@ def test_fingerprints_and_tanimoto():
     M = bulk_tanimoto_matrix(fps, fps)
     assert np.allclose(np.diag(M), 1.0)
     assert np.isclose(M[0, 1], tanimoto_similarity("CCO", "CCN"), atol=1e-6)
+
+
+def test_fuzz_roundtrip_on_synthetic_corpus():
+    """Broad robustness: every generated drug-like molecule must
+    canonicalize idempotently, survive randomization with identical
+    canonical form, and keep a stable scaffold."""
+    from gctplus_tpu.data.synthetic import generate_dataset
+
+    rng = random.Random(7)
+    smis = generate_dataset(150, seed=9)
+    for smi in smis:
+        c1 = canonical_smiles(smi)
+        assert c1 is not None, smi
+        assert canonical_smiles(c1) == c1, smi
+        r = randomize_smiles(smi, rng)
+        assert r is not None and canonical_smiles(r) == c1, (smi, r)
+        sca = murcko_scaffold(smi)
+        assert sca is not None
+        if sca:
+            assert murcko_scaffold(sca) == sca, (smi, sca)
