@@ -53,6 +53,14 @@ def model_selection(args, ref_smiles: Sequence[str], log=None
     out.to_csv(os.path.join(save_folder, "metric.csv"), index=False)
     if len(out):
         best = out.loc[out["score"].idxmax()]
-        log.info(f"best epoch: {int(best['epoch'])} "
-                 f"(score={best['score']:.4f})")
+        best_epoch = int(best["epoch"])
+        log.info(f"best epoch: {best_epoch} (score={best['score']:.4f})")
+        # publish the winner under the conventional name used by the
+        # sampling tasks' default -model_name
+        import shutil
+        src = dict(epochs)[best_epoch]
+        if src.endswith(".msgpack"):
+            shutil.copyfile(os.path.join(args.model_folder, src),
+                            os.path.join(args.model_folder,
+                                         "model_best.msgpack"))
     return out
