@@ -191,20 +191,34 @@ class BaseSampler:
         return self._ids_to_smiles(np.asarray(toks), strip=strip)
 
 
+    def _batched_decode(self, prefix_ids: List[int], toklen_all: np.ndarray,
+                        extra_lat: int, dconds_all: Optional[np.ndarray],
+                        strip: int = 0) -> List[str]:
+        """Chunked decode over a whole request, sorted by sampled token
+        length: rows in a chunk finish at similar steps, so the
+        on-device all-finished break exits the while_loop early (a
+        throughput optimization the reference's per-step host-sync loop
+        cannot express as cheaply). Results return in request order."""
+        n = len(toklen_all)
+        order = np.argsort(toklen_all, kind="stable")
+        out: List[Optional[str]] = [None] * n
+        for s in range(0, n, self.batch_size):
+            sel = order[s: s + self.batch_size]
+            dc = None if dconds_all is None else dconds_all[sel]
+            toks = self._decode_batch(len(sel), prefix_ids,
+                                      toklen_all[sel], extra_lat, dc)
+            smis = self._ids_to_smiles(toks, strip=strip)
+            for k, idx in enumerate(sel):
+                out[idx] = smis[k]
+        return out  # type: ignore[return-value]
+
+
 class VaetfSampler(BaseSampler):
     def sample_smiles(self, n: int) -> Tuple[List[str], np.ndarray]:
-        smiles: List[str] = []
-        toklens: List[np.ndarray] = []
-        remaining = n
-        while remaining > 0:
-            b = min(self.batch_size, remaining)
-            toklen = self._sample_toklen(b)
-            toks = self._decode_batch(
-                b, [self.trg_vocab.sos_id], toklen, 0, None)
-            smiles.extend(self._ids_to_smiles(toks))
-            toklens.append(toklen)
-            remaining -= b
-        return smiles, np.concatenate(toklens)
+        toklen = self._sample_toklen(n)
+        smiles = self._batched_decode([self.trg_vocab.sos_id], toklen,
+                                      0, None)
+        return smiles, toklen
 
 
 class CvaetfSampler(BaseSampler):
@@ -214,17 +228,10 @@ class CvaetfSampler(BaseSampler):
         props = np.asarray(props, np.float32)
         n = len(props)
         dconds = self._transform(props) if transform else props
-        smiles: List[str] = []
-        toklens: List[np.ndarray] = []
-        for s in range(0, n, self.batch_size):
-            dc = dconds[s: s + self.batch_size]
-            b = len(dc)
-            toklen = self._sample_toklen(b)
-            toks = self._decode_batch(
-                b, [self.trg_vocab.sos_id], toklen, 0, dc)
-            smiles.extend(self._ids_to_smiles(toks))
-            toklens.append(toklen)
-        return smiles, np.concatenate(toklens)
+        toklen = self._sample_toklen(n)
+        smiles = self._batched_decode([self.trg_vocab.sos_id], toklen,
+                                      0, dconds)
+        return smiles, toklen
 
 
 class ScaVaetfSampler(BaseSampler):
@@ -236,18 +243,11 @@ class ScaVaetfSampler(BaseSampler):
                       ) -> Tuple[List[str], np.ndarray]:
         prefix_ids = self._scaffold_prefix(scaffold)
         sca_len = len(prefix_ids) - 2
-        smiles: List[str] = []
-        toklens: List[np.ndarray] = []
-        remaining = n
-        while remaining > 0:
-            b = min(self.batch_size, remaining)
-            toklen = self._sample_toklen(b)
-            # latent covers scaffold + <sep> + molecule (sampling_tool.py:569-578)
-            toks = self._decode_batch(b, prefix_ids, toklen, sca_len + 1, None)
-            smiles.extend(self._ids_to_smiles(toks, strip=len(prefix_ids)))
-            toklens.append(toklen)
-            remaining -= b
-        return smiles, np.concatenate(toklens)
+        toklen = self._sample_toklen(n)
+        # latent covers scaffold + <sep> + molecule (sampling_tool.py:569-578)
+        smiles = self._batched_decode(prefix_ids, toklen, sca_len + 1, None,
+                                      strip=len(prefix_ids))
+        return smiles, toklen
 
 
 class PscaVaetfSampler(BaseSampler):
@@ -261,16 +261,10 @@ class PscaVaetfSampler(BaseSampler):
         dconds = self._transform(props) if transform else props
         prefix_ids = self._scaffold_prefix(scaffold)
         sca_len = len(prefix_ids) - 2
-        smiles: List[str] = []
-        toklens: List[np.ndarray] = []
-        for s in range(0, len(props), self.batch_size):
-            dc = dconds[s: s + self.batch_size]
-            b = len(dc)
-            toklen = self._sample_toklen(b)
-            toks = self._decode_batch(b, prefix_ids, toklen, sca_len + 1, dc)
-            smiles.extend(self._ids_to_smiles(toks, strip=len(prefix_ids)))
-            toklens.append(toklen)
-        return smiles, np.concatenate(toklens)
+        toklen = self._sample_toklen(len(props))
+        smiles = self._batched_decode(prefix_ids, toklen, sca_len + 1,
+                                      dconds, strip=len(prefix_ids))
+        return smiles, toklen
 
 
 SAMPLER_REGISTRY = {
