@@ -119,3 +119,23 @@ def test_kldiv_score():
     b = ["c1ccc2ccccc2c1"] * 5
     s_diff = kldiv_score(b, a)
     assert s_diff["score"] < s_same["score"]
+
+
+def test_p_sampling_task(tiny_setup):
+    root, out, runs = tiny_setup
+    from gctplus_tpu.tasks.p_sampling import p_sampling
+    df = p_sampling(_args(root, runs, "pvaetf", n_samples=2))
+    assert len(df) == 27  # the full target grid (config_default.py:7-12)
+    assert {"valid", "logP_MAE", "valid_in_tolerance"} <= set(df.columns)
+
+
+def test_psca_sampling_task(tiny_setup):
+    root, out, runs = tiny_setup
+    from gctplus_tpu.tasks.psca_sampling import psca_sampling
+    scas = out["frames"]["train"]["scaffold"].tolist()
+    df = psca_sampling(_args(root, runs, "pscavaetf", n_scaffolds=1,
+                             n_samples=2), scas)
+    assert len(df) == 27
+    assert {"SSF", "valid_molgpt"} <= set(df.columns)
+    res = root / "results" / "psca_sampling"
+    assert (res / "metric_by_scaffold.csv").exists()
