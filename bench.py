@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gctplus_tpu.models import Cvaetf, ModelConfig, Vaetf
+    from gctplus_tpu.models import ModelConfig, Vaetf
     from gctplus_tpu.models.masks import get_trg_mask
     from gctplus_tpu.models.registry import init_params
     from gctplus_tpu.sample.decode import DecodeEngine

@@ -13,8 +13,7 @@
 from __future__ import annotations
 
 import hashlib
-import struct
-from typing import List, Optional, Sequence, Set
+from typing import Optional, Set
 
 import numpy as np
 

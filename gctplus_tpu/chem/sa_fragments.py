@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import math
 from collections import Counter
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 from gctplus_tpu.chem.fingerprints import _h
 from gctplus_tpu.chem.mol import Mol

@@ -16,7 +16,6 @@ from gctplus_tpu.chem.mol import (
     BOND_ORDER,
     ORGANIC_SUBSET,
     Atom,
-    Bond,
     Mol,
 )
 

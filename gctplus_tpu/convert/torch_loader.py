@@ -21,7 +21,7 @@ ones are sampler.fc_mu/fc_log_var).
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

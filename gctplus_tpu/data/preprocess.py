@@ -15,7 +15,7 @@ downloads MOSES instead, preprocess.py:81-83).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd

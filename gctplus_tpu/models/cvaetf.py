@@ -25,7 +25,7 @@ generated token (Inference/sampling_tool.py:140-184).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

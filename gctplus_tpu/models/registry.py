@@ -11,7 +11,6 @@ variants share two classes:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

@@ -24,7 +24,6 @@ probabilities to 1e-6 before renormalized sampling.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -4,14 +4,14 @@
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd
 
 from gctplus_tpu.chem.vocab import Vocab
 from gctplus_tpu.data.scaler import RobustScaler
-from gctplus_tpu.models.registry import MODEL_REGISTRY, build_model, init_params
+from gctplus_tpu.models.registry import build_model, init_params
 from gctplus_tpu.sample.samplers import SAMPLER_REGISTRY, BaseSampler
 
 _NEEDS_SEP = {"scavaetf", "pscavaetf"}

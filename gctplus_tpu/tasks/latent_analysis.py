@@ -6,7 +6,7 @@ similar vs dissimilar molecule pairs."""
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

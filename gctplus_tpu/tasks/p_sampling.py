@@ -8,14 +8,11 @@ in-tolerance success rates (p_sampling.py:157-318)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 import pandas as pd
 
-from gctplus_tpu.chem.descriptors import PROPERTY_FN
 from gctplus_tpu.chem.mapper import pmap
-from gctplus_tpu.chem.sanitize import mol_from_smiles
 from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
 from gctplus_tpu.eval.metrics import (
     fraction_unique,

@@ -8,7 +8,6 @@ inserts the gradient all-reduce (the DDP analog).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -13,7 +13,7 @@ Parity with the reference trainer (Train/trainer1.py:14-30):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

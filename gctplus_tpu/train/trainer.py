@@ -11,8 +11,6 @@ trg[:, :-1] -> labels trg[:, 1:] (Model/forward_propagation1.py:4-40).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
@@ -23,7 +21,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gctplus_tpu.models.masks import get_src_mask, get_trg_mask
 from gctplus_tpu.train.loss import elbo_loss
-from gctplus_tpu.train.schedule import make_optimizer, noam_schedule
 
 
 class TrainState(struct.PyTreeNode):
