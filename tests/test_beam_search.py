@@ -76,3 +76,25 @@ def test_wider_beam_not_worse():
     lp1 = _seq_logprob(model, params, beam1[0], z, src_mask)
     lp4 = _seq_logprob(model, params, beam4[0], z, src_mask)
     assert lp4 >= lp1 - 1e-4
+
+
+def test_beam_with_conditions():
+    import numpy as np
+    from gctplus_tpu.models import Cvaetf, ModelConfig
+    from gctplus_tpu.models.registry import init_params
+
+    cfg = ModelConfig(src_vocab=20, trg_vocab=20, N=1, d_model=32, d_ff=64,
+                      heads=4, latent_dim=8, dropout=0.0, nconds=3,
+                      use_cond2lat=True)
+    model = Cvaetf(cfg)
+    params = init_params(model, cfg)
+    bs, lat = 2, 10
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(bs, lat, 8)), jnp.float32)
+    src_mask = jnp.ones((bs, 1, lat), bool)
+    dconds = jnp.asarray(rng.normal(size=(bs, 3)), jnp.float32)
+    prefix = jnp.asarray(np.full((bs, 1), 2, np.int32))
+    eng = DecodeEngine(model, cfg)
+    out = np.asarray(eng.beam_search(params, prefix, 1, z, src_mask, dconds,
+                                     max_new=8, beam_width=3))
+    assert out.shape == (bs, 9)
