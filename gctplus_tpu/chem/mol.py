@@ -91,12 +91,14 @@ class Mol:
         self.atoms: List[Atom] = []
         self.bonds: List[Bond] = []
         self._adj: Dict[int, List[int]] = {}
+        self._ring_cache: Optional[List[List[int]]] = None
 
     # --- construction -------------------------------------------------
     def add_atom(self, atom: Atom) -> int:
         atom.idx = len(self.atoms)
         self.atoms.append(atom)
         self._adj[atom.idx] = []
+        self._ring_cache = None
         return atom.idx
 
     def add_bond(self, a1: int, a2: int, order: float, aromatic=False,
@@ -112,6 +114,7 @@ class Mol:
         self.bonds.append(b)
         self._adj[a1].append(bi)
         self._adj[a2].append(bi)
+        self._ring_cache = None
         return bi
 
     # --- queries --------------------------------------------------------
@@ -133,9 +136,11 @@ class Mol:
 
     # --- ring perception ------------------------------------------------
     def ring_info(self) -> List[List[int]]:
-        """SSSR-ish ring set: cycle basis via BFS spanning tree, then
-        shortest-ring refinement good enough for drug-like molecules."""
-        return _cycle_basis(self)
+        """Minimum cycle basis (cached; descriptors/scaffold/aromatic
+        perception all consume it)."""
+        if self._ring_cache is None:
+            self._ring_cache = _cycle_basis(self)
+        return self._ring_cache
 
     def rings_for_atom(self) -> Dict[int, List[List[int]]]:
         out: Dict[int, List[List[int]]] = {i: [] for i in range(len(self.atoms))}
