@@ -100,7 +100,9 @@ def main():
             jax.random.fold_in(key, 1000 + i), jnp.log(probs)))
         return nxt
 
-    probe_lengths = [8, 24, 40, 56, 72, 79]
+    probe_lengths = [24, 56, 79]  # 3 bucket compiles keep cache-cold
+    # bench runs inside scheduler timeouts; nearest-length integration
+    # below still covers the 79-step schedule
     for L in probe_lengths:  # compile each bucket
         one_ref_step(L, 0)
     per_len_cost = {}
