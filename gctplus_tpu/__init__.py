@@ -13,18 +13,22 @@ __version__ = "0.1.0"
 
 # Persistent XLA compilation cache: first-compile latency dominates
 # short jobs (and is severe through remote-compile tunnels); cached
-# binaries make restarts/resumes near-instant. Opt out by setting
+# binaries make restarts/resumes near-instant. CPU AOT artifacts are
+# machine-feature-sensitive (can SIGILL across hosts), so the cache is
+# only enabled when a non-CPU platform is configured. Opt out with
 # GCTPLUS_NO_COMPILE_CACHE=1.
 import os as _os
 
 if not _os.environ.get("GCTPLUS_NO_COMPILE_CACHE"):
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/gctplus_jax_cache")
     try:
         import jax as _jax
 
-        _jax.config.update("jax_compilation_cache_dir",
-                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _platforms = (_os.environ.get("JAX_PLATFORMS") or "").lower()
+        if _platforms not in ("cpu", "", None):
+            _jax.config.update("jax_compilation_cache_dir",
+                               _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                               "/tmp/gctplus_jax_cache"))
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
