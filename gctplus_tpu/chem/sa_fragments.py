@@ -44,14 +44,24 @@ def atom_environment_hashes(mol: Mol, radius: int = 2) -> List[int]:
     return cur
 
 
-def build_fragment_scores(smiles: Iterable[str], radius: int = 2
-                          ) -> Dict[str, float]:
+def _env_hashes_of_smiles(smi: str, radius: int = 2):
+    """Picklable pool worker."""
+    mol = mol_from_smiles(smi)
+    if mol is None:
+        return []
+    return atom_environment_hashes(mol, radius)
+
+
+def build_fragment_scores(smiles: Iterable[str], radius: int = 2,
+                          n_jobs: int = 1) -> Dict[str, float]:
+    from functools import partial
+
+    from gctplus_tpu.chem.mapper import pmap
+
     counts: Counter = Counter()
-    for smi in smiles:
-        mol = mol_from_smiles(smi)
-        if mol is None:
-            continue
-        counts.update(atom_environment_hashes(mol, radius))
+    for hashes in pmap(partial(_env_hashes_of_smiles, radius=radius),
+                       list(smiles), n_jobs):
+        counts.update(hashes)
     if not counts:
         return {}
     # offset so the most common environment scores +2.3 (calibrated so

@@ -87,7 +87,8 @@ def preprocess(save_folder: str,
     if train_smiles is None:
         from gctplus_tpu.data.synthetic import generate_dataset
         n = n_synthetic
-        allsmi = generate_dataset(int(n * 1.2) + 64, seed=seed)
+        allsmi = generate_dataset(int(n * 1.2) + 64, seed=seed,
+                                  n_jobs=n_jobs)
         train_smiles = allsmi[:n]
         test_smiles = allsmi[n: n + n // 10]
         test_scaffolds_smiles = allsmi[n + n // 10:]
@@ -122,7 +123,8 @@ def preprocess(save_folder: str,
     # offline analog of moses' PubChem fpscores artifact
     from gctplus_tpu.chem.sa_fragments import (
         build_fragment_scores, save_fragment_scores)
-    sa_scores = build_fragment_scores(frames["train"]["smiles"])
+    sa_scores = build_fragment_scores(frames["train"]["smiles"],
+                                      n_jobs=n_jobs)
     save_fragment_scores(sa_scores, os.path.join(util, "sa_fragments.json"))
 
     # prepared train/test csvs (preprocess.py:135-166)

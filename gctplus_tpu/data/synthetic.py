@@ -58,22 +58,38 @@ def random_druglike_smiles(rng: random.Random) -> str:
     return "".join(parts)
 
 
-def generate_dataset(n: int, seed: int = 0, max_len: int = 72) -> List[str]:
-    """n unique, valid, canonical SMILES."""
+def _canon_or_none(smi: str, max_len: int = 72):
+    """Picklable pool worker."""
+    can = canonical_smiles(smi)
+    if can is None or len(can) > max_len:
+        return None
+    return can
+
+
+def generate_dataset(n: int, seed: int = 0, max_len: int = 72,
+                     n_jobs: int = 1) -> List[str]:
+    """n unique, valid, canonical SMILES (canonicalization pooled)."""
+    from functools import partial
+
+    from gctplus_tpu.chem.mapper import pmap
+
     rng = random.Random(seed)
     seen = set()
     out: List[str] = []
-    attempts = 0
-    while len(out) < n and attempts < 50 * n:
-        attempts += 1
-        smi = random_druglike_smiles(rng)
-        if len(smi) > max_len:
-            continue
-        can = canonical_smiles(smi)
-        if can is None or can in seen or len(can) > max_len:
-            continue
-        seen.add(can)
-        out.append(can)
+    rounds = 0
+    while len(out) < n and rounds < 60:
+        rounds += 1
+        batch = [random_druglike_smiles(rng)
+                 for _ in range(max(1024, (n - len(out)) * 2))]
+        batch = [s for s in batch if len(s) <= max_len]
+        for can in pmap(partial(_canon_or_none, max_len=max_len), batch,
+                        n_jobs):
+            if can is None or can in seen:
+                continue
+            seen.add(can)
+            out.append(can)
+            if len(out) == n:
+                break
     if len(out) < n:
         raise RuntimeError(f"only generated {len(out)}/{n} molecules")
     return out
