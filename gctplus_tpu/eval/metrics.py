@@ -8,10 +8,11 @@ Re-implemented on the in-repo chemistry substrate; the O(n^2)
 fingerprint reductions (IntDiv, SNN) ride the MXU via
 bulk_tanimoto_matrix.
 
-Not implemented: FCD (needs the pretrained ChemNet weights — a data
-artifact, not code) and Frag/Scaf cosine vs MOSES's fragment BRICS
-decomposition (BRICS rule table); scaffold-set overlap `Scaf` is
-approximated with Murcko scaffolds.
+`Frag/Test` uses the in-repo BRICS-style decomposition
+(chem/brics.py) with moses' cosine formula. Scaffold-set overlap
+`Scaf` is approximated with Murcko scaffolds. Not implemented: FCD
+(needs the pretrained ChemNet weights — a data artifact, not code);
+frechet_descriptor_distance is the in-repo stand-in.
 """
 
 from __future__ import annotations
@@ -111,6 +112,17 @@ def scaf_overlap(gen: Sequence[str], ref: Sequence[str], n_jobs: int = 1) -> flo
     return sum(s in ref_scas for s in scas) / len(scas)
 
 
+def frag_similarity(gen: Sequence[str], ref: Sequence[str],
+                    n_jobs: int = 1) -> float:
+    """moses `Frag`: cosine similarity between BRICS-style fragment
+    frequency vectors of the two sets (chem/brics.py; both sets are
+    decomposed with the same rule table)."""
+    from gctplus_tpu.chem.brics import fragment_cosine, fragment_counts
+
+    return fragment_cosine(fragment_counts(gen, n_jobs),
+                           fragment_counts(ref, n_jobs))
+
+
 def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
                      n_jobs: int = 1) -> Dict[str, float]:
     """SSF (scaffold-similarity == 1 fraction) and sim80
@@ -204,5 +216,6 @@ def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
         out["novelty"] = novelty(gen, train, n_jobs)
     if test is not None:
         out["SNN/Test"] = snn(gen, test, n_jobs)
+        out["Frag/Test"] = frag_similarity(gen, test, n_jobs)
         out["Scaf/Test"] = scaf_overlap(gen, test, n_jobs)
     return out

@@ -169,3 +169,45 @@ def test_fuzz_roundtrip_on_synthetic_corpus():
         assert sca is not None
         if sca:
             assert murcko_scaffold(sca) == sca, (smi, sca)
+
+
+def test_brics_fragments():
+    """BRICS-style decomposition (chem/brics.py): retrosynthetic bonds
+    cleave, ring bonds never do, decomposition is input-order stable."""
+    from gctplus_tpu.chem.brics import (
+        brics_fragments, fragment_cosine, fragment_counts)
+    from gctplus_tpu.chem.randomize import randomize_smiles
+
+    # amide cleaves into acyl + N + aryl (BRICS L1/L5/L16 pattern)
+    frags = brics_fragments("CC(=O)Nc1ccccc1")
+    assert frags is not None and len(frags) == 3
+    assert any(f.startswith("c1ccccc1") for f in frags)
+    # biaryl single bond cleaves; fused-ring bond does not
+    assert len(brics_fragments("c1ccccc1c1ccncc1")) == 2
+    assert len(brics_fragments("c1ccc2ccccc2c1")) == 1
+    # uncleavable molecules are their own fragment with 0 attachments
+    assert brics_fragments("C1CCCCC1") == ["C1CCCCC1|0"]
+    assert brics_fragments("xyz") is None
+
+    # decomposition is invariant to SMILES atom ordering
+    rng = random.Random(3)
+    smi = "CCOC(=O)c1ccc(CN2CCOCC2)cc1"
+    base = sorted(brics_fragments(smi))
+    for _ in range(5):
+        assert sorted(brics_fragments(randomize_smiles(smi, rng))) == base
+
+    # cosine: identical sets -> 1, disjoint fragment sets -> 0
+    a = fragment_counts(["CC(=O)Nc1ccccc1", "c1ccccc1c1ccncc1"])
+    assert abs(fragment_cosine(a, a) - 1.0) < 1e-9
+    b = fragment_counts(["C1CCCCC1"])
+    assert fragment_cosine(a, b) == 0.0
+
+
+def test_frag_metric_in_suite():
+    from gctplus_tpu.eval.metrics import frag_similarity, get_all_metrics
+
+    gen = ["CC(=O)Nc1ccccc1", "CCOC(=O)c1ccccc1", "c1ccc2ccccc2c1"]
+    assert frag_similarity(gen, gen) > 0.999
+    out = get_all_metrics(gen, train=["CCO"], test=gen, k=(2,))
+    assert out["Frag/Test"] > 0.999
+    assert 0.0 <= out["Scaf/Test"] <= 1.0
