@@ -463,10 +463,24 @@ def _n_bridgehead(mol: Mol, rings) -> int:
     return cnt
 
 
+# optional corpus-derived NP contribution table (chem/np_score.py);
+# loaded by preprocess/task plumbing via set_np_contributions
+_NP_CONTRIBUTIONS: Optional[Dict[str, float]] = None
+
+
+def set_np_contributions(table: Optional[Dict[str, float]]) -> None:
+    global _NP_CONTRIBUTIONS
+    _NP_CONTRIBUTIONS = table
+
+
 def NP(mol: Mol) -> float:
-    """Natural-product likeness requires a trained fragment table
-    (moses NP_Score artifact); returning neutral 0.0."""
-    return 0.0
+    """Natural-product likeness (Ertl 2008 method; moses' NP_Score
+    artifact replaced by the corpus-derived table, chem/np_score.py).
+    Neutral 0.0 when no table is loaded."""
+    if not _NP_CONTRIBUTIONS:
+        return 0.0
+    from gctplus_tpu.chem.np_score import np_likeness
+    return np_likeness(mol, _NP_CONTRIBUTIONS)
 
 
 def BertzCT(mol: Mol) -> float:

@@ -127,6 +127,15 @@ def preprocess(save_folder: str,
                                       n_jobs=n_jobs)
     save_fragment_scores(sa_scores, os.path.join(util, "sa_fragments.json"))
 
+    # corpus-derived NP contribution table (chem/np_score.py) — the
+    # offline analog of moses' NP_Score artifact (single-corpus mode)
+    from gctplus_tpu.chem.np_score import (
+        build_np_contributions, save_np_contributions)
+    np_table = build_np_contributions(frames["train"]["smiles"],
+                                      n_jobs=n_jobs)
+    save_np_contributions(np_table, os.path.join(util,
+                                                 "np_contributions.json"))
+
     # prepared train/test csvs (preprocess.py:135-166)
     for name in ("train", "test"):
         if name not in frames:

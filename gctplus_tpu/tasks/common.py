@@ -38,12 +38,18 @@ def load_toklen(util_folder: str) -> np.ndarray:
 
 
 def load_sa_fragments(util_folder: str) -> None:
-    """Activate the corpus-derived SA fragment table when present."""
+    """Activate the corpus-derived SA fragment and NP contribution
+    tables when present."""
     path = os.path.join(util_folder, "sa_fragments.json")
     if os.path.exists(path):
         from gctplus_tpu.chem.descriptors import set_sa_fragment_scores
         from gctplus_tpu.chem.sa_fragments import load_fragment_scores
         set_sa_fragment_scores(load_fragment_scores(path))
+    np_path = os.path.join(util_folder, "np_contributions.json")
+    if os.path.exists(np_path):
+        from gctplus_tpu.chem.descriptors import set_np_contributions
+        from gctplus_tpu.chem.np_score import load_np_contributions
+        set_np_contributions(load_np_contributions(np_path))
 
 
 def load_params_any(model, cfg, model_path: str, model_type: str):

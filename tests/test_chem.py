@@ -211,3 +211,38 @@ def test_frag_metric_in_suite():
     out = get_all_metrics(gen, train=["CCO"], test=gen, k=(2,))
     assert out["Frag/Test"] > 0.999
     assert 0.0 <= out["Scaf/Test"] <= 1.0
+
+
+def test_np_score():
+    """Corpus-derived NP-likeness (chem/np_score.py): in-corpus
+    chemotypes score above alien ones, two-corpus mode contrasts."""
+    from gctplus_tpu.chem.descriptors import NP, set_np_contributions
+    from gctplus_tpu.chem.np_score import (
+        build_np_contributions, load_np_contributions, np_likeness,
+        save_np_contributions)
+    from gctplus_tpu.chem.sanitize import mol_from_smiles
+
+    corpus = ["CC(=O)Nc1ccccc1", "CCOc1ccccc1", "c1ccc2ccccc2c1",
+              "CC(C)Cc1ccccc1", "Oc1ccccc1"]
+    table = build_np_contributions(corpus)
+    assert table
+    familiar = np_likeness(mol_from_smiles("CCOc1ccccc1"), table)
+    alien = np_likeness(mol_from_smiles("FC(F)(F)S(=O)(=O)C1CC1"), table)
+    assert familiar > alien
+
+    # two-corpus mode: aromatic-rich "natural" vs aliphatic "synthetic"
+    t2 = build_np_contributions(corpus, ["CCCCCC", "CCCCO", "CCNCC"])
+    arom = np_likeness(mol_from_smiles("c1ccc2ccccc2c1"), t2)
+    alip = np_likeness(mol_from_smiles("CCCCCC"), t2)
+    assert arom > alip
+
+    # descriptor plumbing + save/load round-trip
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".json") as f:
+        save_np_contributions(table, f.name)
+        set_np_contributions(load_np_contributions(f.name))
+    try:
+        assert NP(mol_from_smiles("CCOc1ccccc1")) == familiar
+    finally:
+        set_np_contributions(None)
+    assert NP(mol_from_smiles("CCO")) == 0.0
