@@ -87,6 +87,18 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-fixed_seqlen", type=int, default=80,
                         help="pad all batches to one static length "
                              "(0 = bucketed dynamic lengths)")
+    # fine-tuning / transfer (the reference's molGCT -> GCT-Plus
+    # recipe: train1.py loads a pretrained model via build_model and
+    # freezes modules with freeze_params, Model/build_model.py:17-39)
+    parser.add_argument("-use_model_path", type=str, default=None,
+                        help="pretrained checkpoint (.msgpack or "
+                             "reference .pt) to transfer from")
+    parser.add_argument("-train_params", nargs="+", default=None,
+                        help="top-level modules to TRAIN (others frozen),"
+                             " e.g. decoder out")
+    parser.add_argument("-freeze_params", nargs="+", default=None,
+                        help="top-level modules to FREEZE, "
+                             "e.g. encoder embed_sentence")
 
 
 def preprocess_opts(parser: argparse.ArgumentParser):

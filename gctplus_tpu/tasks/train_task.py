@@ -82,6 +82,27 @@ def train_task(args) -> None:
     assert n_params > 0  # train1.py:107
     log.info(f"#parameters: {n_params}")
 
+    # fine-tuning: transfer pretrained weights (shape-matched leaves)
+    # and optionally freeze modules (molGCT->GCT-Plus recipe;
+    # Model/build_model.py:17-39)
+    if getattr(args, "use_model_path", None):
+        from gctplus_tpu.models.registry import transfer_params
+        from gctplus_tpu.tasks.common import load_params_any
+        trained = load_params_any(model, cfg, args.use_model_path,
+                                  args.model_type)
+        params = transfer_params(trained, params, log)
+        log.info(f"transferred params from {args.use_model_path}")
+    trainable_mask = None
+    t_names = getattr(args, "train_params", None)
+    f_names = getattr(args, "freeze_params", None)
+    if t_names or f_names:
+        from gctplus_tpu.models.registry import freeze_mask
+        trainable_mask = freeze_mask(params, train_names=t_names,
+                                     freeze_names=f_names)
+        frozen = [k for k, v in trainable_mask.items()
+                  if not any(jax.tree_util.tree_leaves(v))]
+        log.info(f"frozen modules: {frozen}")
+
     # mesh + shardings (the DDP analog; SURVEY.md §2.5)
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     params = shard_params(params, mesh)
@@ -100,12 +121,13 @@ def train_task(args) -> None:
     from gctplus_tpu.utils.profiling import trace
     with trace(profile_dir):
         _run_training(args, model, cfg, params, train_loader, valid_loader,
-                      src_vocab, hyper, log, device_put_fn)
+                      src_vocab, hyper, log, device_put_fn, trainable_mask)
     log.info("training complete")
 
 
 def _run_training(args, model, cfg, params, train_loader, valid_loader,
-                  src_vocab, hyper, log, device_put_fn):
+                  src_vocab, hyper, log, device_put_fn,
+                  trainable_mask=None):
     train_model(
         model, cfg, params, train_loader, valid_loader,
         model_folder=args.model_folder, num_epoch=args.num_epoch,
@@ -115,7 +137,8 @@ def _run_training(args, model, cfg, params, train_loader, valid_loader,
         KLA_beg_epoch=args.KLA_beg_epoch, KLA_max_beta=args.KLA_max_beta,
         lr_WarmUpSteps=args.lr_WarmUpSteps, lr_beta1=args.lr_beta1,
         lr_beta2=args.lr_beta2, lr_eps=args.lr_eps, seed=args.seed,
-        log=log, device_put_fn=device_put_fn, hyper=hyper)
+        log=log, device_put_fn=device_put_fn, hyper=hyper,
+        trainable_mask=trainable_mask)
 
 
 def main(argv=None):

@@ -136,11 +136,19 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
                 KLA_max_beta: float = 1.0, lr_WarmUpSteps: int = 8000,
                 lr_beta1: float = 0.9, lr_beta2: float = 0.98,
                 lr_eps: float = 1e-9, seed: int = 0, log=None,
-                device_put_fn=None, hyper: Optional[Dict] = None):
-    """Full training run; returns the final TrainState."""
+                device_put_fn=None, hyper: Optional[Dict] = None,
+                trainable_mask=None):
+    """Full training run; returns the final TrainState.
+
+    trainable_mask: optional boolean tree (models.registry.freeze_mask)
+    — False leaves get zero updates (fine-tuning with frozen modules,
+    the reference's requires_grad=False analog)."""
     os.makedirs(model_folder, exist_ok=True)
     tx, sched = make_optimizer(cfg.d_model, lr_WarmUpSteps,
                                lr_beta1, lr_beta2, lr_eps)
+    if trainable_mask is not None:
+        from gctplus_tpu.train.schedule import with_frozen
+        tx = with_frozen(tx, trainable_mask)
     start_step = (start_epoch - 1) * len(train_loader)
     state = TrainState.create(params, tx, start_step=start_step)
 

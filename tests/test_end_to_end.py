@@ -76,3 +76,58 @@ def test_train_sample_eval_roundtrip(workspace, tmp_path):
     from gctplus_tpu.eval.metrics import fraction_valid
     v = fraction_valid(smiles)
     assert 0.0 <= v <= 1.0  # 2 epochs on 128 rows: no quality bar
+
+
+def test_finetune_with_frozen_encoder(workspace, tmp_path):
+    """Fine-tuning workflow (molGCT->GCT-Plus recipe,
+    Model/build_model.py:17-39): -use_model_path transfers pretrained
+    weights; -freeze_params zeroes updates for named modules. The
+    frozen encoder must be bit-identical after training while the
+    decoder moves."""
+    import pandas as pd
+    from flax import serialization
+
+    root, out = workspace
+    common = dict(
+        seed=0, batch_size=32, property_list=[], model_type="vaetf",
+        use_scaffold=False, randomize_prob=0.0,
+        prepared_folder=str(root / "prepared"),
+        util_folder=str(root / "utils"), debug=True,
+        use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
+        KLA_max_beta=1.0, KLA_beg_epoch=1, lr_scheduler="WarmUpDefault",
+        lr_WarmUpSteps=100, lr=1e-4, lr_beta1=0.9, lr_beta2=0.98,
+        lr_eps=1e-9, n_data_shards=None, n_model_shards=1,
+        compute_dtype="float32",
+        N=1, H=4, d_ff=64, d_model=32, latent_dim=8, dropout=0.0,
+        variational=True, use_cond2dec=False, use_cond2lat=False,
+        get_attn=False)
+
+    from gctplus_tpu.tasks.train_task import train_task
+    pre = tmp_path / "pretrain"
+    train_task(types.SimpleNamespace(start_epoch=1, num_epoch=1,
+                                     model_folder=str(pre), **common))
+    pre_ckpt = str(pre / "model_1.msgpack")
+
+    ft = tmp_path / "finetune"
+    train_task(types.SimpleNamespace(
+        start_epoch=1, num_epoch=1, model_folder=str(ft),
+        use_model_path=pre_ckpt, freeze_params=["encoder"], **common))
+
+    from gctplus_tpu.train.loop import load_checkpoint
+    a = load_checkpoint(pre_ckpt)["params"]
+    b = load_checkpoint(str(ft / "model_1.msgpack"))["params"]
+
+    def _flat(d, pre=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from _flat(v, f"{pre}{k}/")
+            else:
+                yield f"{pre}{k}", np.asarray(v)
+
+    fa, fb = dict(_flat(a)), dict(_flat(b))
+    enc = [k for k in fa if k.startswith("encoder/")]
+    dec = [k for k in fa if k.startswith("decoder/")]
+    assert enc and dec
+    for k in enc:
+        assert np.array_equal(fa[k], fb[k]), f"frozen leaf moved: {k}"
+    assert any(not np.array_equal(fa[k], fb[k]) for k in dec)
