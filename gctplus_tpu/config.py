@@ -90,6 +90,11 @@ def train_opts(parser: argparse.ArgumentParser):
     # fine-tuning / transfer (the reference's molGCT -> GCT-Plus
     # recipe: train1.py loads a pretrained model via build_model and
     # freezes modules with freeze_params, Model/build_model.py:17-39)
+    parser.add_argument("-ckpt_backend", type=str, default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="orbax = async sharded checkpoints "
+                             "(train/orbax_io.py) in addition to the "
+                             "portable per-epoch msgpack")
     parser.add_argument("-use_model_path", type=str, default=None,
                         help="pretrained checkpoint (.msgpack or "
                              "reference .pt) to transfer from")

@@ -138,7 +138,8 @@ def _run_training(args, model, cfg, params, train_loader, valid_loader,
         lr_WarmUpSteps=args.lr_WarmUpSteps, lr_beta1=args.lr_beta1,
         lr_beta2=args.lr_beta2, lr_eps=args.lr_eps, seed=args.seed,
         log=log, device_put_fn=device_put_fn, hyper=hyper,
-        trainable_mask=trainable_mask)
+        trainable_mask=trainable_mask,
+        ckpt_backend=getattr(args, "ckpt_backend", "msgpack"))
 
 
 def main(argv=None):

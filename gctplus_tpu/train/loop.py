@@ -137,13 +137,22 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
                 lr_beta1: float = 0.9, lr_beta2: float = 0.98,
                 lr_eps: float = 1e-9, seed: int = 0, log=None,
                 device_put_fn=None, hyper: Optional[Dict] = None,
-                trainable_mask=None):
+                trainable_mask=None, ckpt_backend: str = "msgpack"):
     """Full training run; returns the final TrainState.
 
     trainable_mask: optional boolean tree (models.registry.freeze_mask)
     — False leaves get zero updates (fine-tuning with frozen modules,
-    the reference's requires_grad=False analog)."""
+    the reference's requires_grad=False analog).
+
+    ckpt_backend: "msgpack" (single-blob host gather, portable) or
+    "orbax" (async sharded writes, train/orbax_io.py — the scaling
+    path; the per-epoch msgpack is still written so downstream task
+    drivers keep working)."""
     os.makedirs(model_folder, exist_ok=True)
+    orbax = None
+    if ckpt_backend == "orbax":
+        from gctplus_tpu.train.orbax_io import OrbaxCheckpointer
+        orbax = OrbaxCheckpointer(model_folder)
     tx, sched = make_optimizer(cfg.d_model, lr_WarmUpSteps,
                                lr_beta1, lr_beta2, lr_eps)
     if trainable_mask is not None:
@@ -192,7 +201,12 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
             _write_history_csv(
                 os.path.join(model_folder, f"valid_{epoch}.csv"), vhist)
 
+        if orbax is not None:
+            # async: this epoch's shards flush while the next trains
+            orbax.save(epoch, state, hyper or {})
         save_checkpoint(
             os.path.join(model_folder, f"model_{epoch}.msgpack"),
             state, hyper or {})
+    if orbax is not None:
+        orbax.close()
     return state

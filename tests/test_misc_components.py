@@ -201,3 +201,39 @@ def test_native_and_python_collate_agree():
             b_nat = next(iter(BatchLoader(ds, use_native=True, **kw)))
             np.testing.assert_array_equal(b_py["src"], b_nat["src"])
             np.testing.assert_array_equal(b_py["trg"], b_nat["trg"])
+
+
+def test_orbax_checkpointer(tmp_path):
+    """Async sharded checkpoint backend (train/orbax_io.py): save with
+    mesh-sharded params, restore bit-exact, hyper sidecar, latest_step.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gctplus_tpu.models.registry import build_model, init_params
+    from gctplus_tpu.parallel import make_mesh, shard_params
+    from gctplus_tpu.train.orbax_io import OrbaxCheckpointer
+    from gctplus_tpu.train.schedule import make_optimizer
+    from gctplus_tpu.train.trainer import TrainState
+
+    model, cfg = build_model("vaetf", 40, 44, N=1, d_model=32, d_ff=64,
+                             heads=4, latent_dim=8, dropout=0.0)
+    params = init_params(model, cfg)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params(params, mesh)
+    tx, _ = make_optimizer(32, 10)
+    state = TrainState.create(params, tx)
+
+    ck = OrbaxCheckpointer(str(tmp_path))
+    ck.save(1, state, {"N": 1})
+    ck.save(2, state, {"N": 1}, wait=True)  # async back-to-back saves
+    assert ck.latest_step() == 2
+    assert ck.hyper(2) == {"N": 1}
+
+    tpl = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    out = ck.restore(2, tpl)
+    for a, b in zip(jax.tree_util.tree_leaves(out["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    ck.close()
