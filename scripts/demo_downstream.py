@@ -5,7 +5,9 @@
    (mol_interpolation.py parity),
 3. latent-space analysis stats.
 
-Usage: python scripts/demo_downstream.py [workdir]
+Usage: python scripts/demo_downstream.py [workdir] [flagship]
+(`flagship` switches to the reference-size vaetf512 run folder /
+architecture and epochs 5..30.)
 """
 
 from __future__ import annotations
@@ -21,19 +23,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gct_demo"
+    flagship = len(sys.argv) > 2 and sys.argv[2] == "flagship"
     t0 = time.time()
     import pandas as pd
 
+    if flagship:  # reference-size vaetf512 run (demo_train_flagship.py)
+        arch = dict(N=6, H=8, d_ff=2048, d_model=512, latent_dim=128)
+        run, last, epochs = "run_vaetf512", 30, [5, 10, 20, 30]
+        result_name = "demo_downstream512_result.json"
+    else:
+        arch = dict(N=4, H=8, d_ff=1024, d_model=256, latent_dim=64)
+        run, last, epochs = "run_vaetf", 40, [5, 10, 20, 30, 40]
+        result_name = "demo_downstream_result.json"
+
     base = dict(
-        model_type="vaetf", model_folder=os.path.join(workdir, "run_vaetf"),
-        model_name="model_40.msgpack",
+        model_type="vaetf", model_folder=os.path.join(workdir, run),
+        model_name=f"model_{last}.msgpack",
         util_folder=os.path.join(workdir, "utils"),
         data_folder=workdir, save_folder=os.path.join(workdir, "results"),
         property_list=[], max_strlen=80, decode_algo="multinomial",
-        top_k=None, n_jobs=8, seed=5, batch_size=512,
-        N=4, H=8, d_ff=1024, d_model=256, latent_dim=64, dropout=0.0,
+        top_k=None, n_jobs=8, seed=5, batch_size=512, dropout=0.0,
         variational=True, use_cond2dec=False, use_cond2lat=False,
-        get_attn=False)
+        get_attn=False, **arch)
 
     test = pd.read_csv(os.path.join(workdir, "raw", "test.csv"))[
         "smiles"].tolist()
@@ -43,7 +54,7 @@ def main():
     # 1. model selection over a subset of epochs
     from gctplus_tpu.tasks.model_selection import model_selection
     ms_args = types.SimpleNamespace(**base, n_samples=400,
-                                    epoch_list=[5, 10, 20, 30, 40])
+                                    epoch_list=epochs)
     df = model_selection(ms_args, test)
     out["model_selection"] = df[["epoch", "score"]].to_dict("records")
     out["best_epoch"] = int(df.loc[df["score"].idxmax(), "epoch"])
@@ -68,7 +79,7 @@ def main():
     out["latent"] = latent_analysis(la_args, test)
 
     out["wall_min"] = round((time.time() - t0) / 60, 1)
-    with open(os.path.join(workdir, "demo_downstream_result.json"), "w") as f:
+    with open(os.path.join(workdir, result_name), "w") as f:
         json.dump(out, f)
     print("DEMO_DOWNSTREAM " + json.dumps(out))
 
