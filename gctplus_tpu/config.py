@@ -71,6 +71,10 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-KLA_inc_beta", type=float, default=0.02)
     parser.add_argument("-KLA_max_beta", type=float, default=1.0)
     parser.add_argument("-KLA_beg_epoch", type=int, default=1)
+    parser.add_argument("-KLA_free_bits", type=float, default=0.0,
+                        help="per-latent-coordinate KL floor in nats "
+                             "(posterior-collapse guard; 0 = reference "
+                             "objective)")
     # LR schedule
     parser.add_argument("-lr_scheduler", type=str, default="WarmUpDefault")
     parser.add_argument("-lr_WarmUpSteps", type=int, default=8000)

@@ -139,7 +139,8 @@ def _run_training(args, model, cfg, params, train_loader, valid_loader,
         lr_beta2=args.lr_beta2, lr_eps=args.lr_eps, seed=args.seed,
         log=log, device_put_fn=device_put_fn, hyper=hyper,
         trainable_mask=trainable_mask,
-        ckpt_backend=getattr(args, "ckpt_backend", "msgpack"))
+        ckpt_backend=getattr(args, "ckpt_backend", "msgpack"),
+        free_bits=getattr(args, "KLA_free_bits", 0.0))
 
 
 def main(argv=None):

@@ -137,7 +137,8 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
                 lr_beta1: float = 0.9, lr_beta2: float = 0.98,
                 lr_eps: float = 1e-9, seed: int = 0, log=None,
                 device_put_fn=None, hyper: Optional[Dict] = None,
-                trainable_mask=None, ckpt_backend: str = "msgpack"):
+                trainable_mask=None, ckpt_backend: str = "msgpack",
+                free_bits: float = 0.0):
     """Full training run; returns the final TrainState.
 
     trainable_mask: optional boolean tree (models.registry.freeze_mask)
@@ -175,7 +176,7 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
                 log.info(f"resumed from {ckpt_path}")
 
     step_fn = make_train_step(model, pad_id, use_cond2dec, sched,
-                              donate=False)
+                              donate=False, free_bits=free_bits)
     eval_fn = make_eval_step(model, pad_id, use_cond2dec)
     rng = jax.random.PRNGKey(seed)
 

@@ -31,13 +31,20 @@ def kl_annealing_beta(epoch: int, prev_beta: float, use_KLA: bool = True,
 
 
 def elbo_loss(logits_mol, trg_labels, mu, log_var, beta, pad_id: int,
-              logits_prop=None, trg_props=None, label_smoothing: float = 0.0
-              ) -> Tuple[jnp.ndarray, dict]:
+              logits_prop=None, trg_props=None, label_smoothing: float = 0.0,
+              free_bits: float = 0.0) -> Tuple[jnp.ndarray, dict]:
     """Sum-reduced ELBO. logits_mol: (bs, L, V); trg_labels: (bs, L).
 
     label_smoothing > 0 enables the smoothed-CE variant the reference
     keeps but never wires in (LabelSmoothing, Model/modules.py:150-183:
-    mass spread over non-pad, non-target classes)."""
+    mass spread over non-pad, non-target classes).
+
+    free_bits > 0 floors the batch-mean KL of each latent coordinate at
+    that many nats before weighting by beta (Kingma et al. 2016) — a
+    posterior-collapse guard beyond the reference's recipe (its
+    KLAnnealer alone collapses on small corpora; see EVIDENCE.md). At
+    0.0 the objective is exactly the reference's loss_function
+    (Train/loss.py behavior). The reported KLD stays the true KL."""
     logits = logits_mol.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     valid = (trg_labels != pad_id).astype(jnp.float32)
@@ -57,9 +64,17 @@ def elbo_loss(logits_mol, trg_labels, mu, log_var, beta, pad_id: int,
 
     mu = mu.astype(jnp.float32)
     log_var = log_var.astype(jnp.float32)
-    kld = -0.5 * jnp.sum(1.0 + log_var - mu ** 2 - jnp.exp(log_var))
+    kl_per = -0.5 * (1.0 + log_var - mu ** 2 - jnp.exp(log_var))
+    kld = jnp.sum(kl_per)
+    if free_bits > 0.0:
+        # per-coordinate batch-mean KL, floored, rescaled back to the
+        # sum reduction (identical to kld when no coordinate is floored)
+        kld_obj = jnp.sum(jnp.maximum(kl_per.mean(axis=0), free_bits)
+                          ) * kl_per.shape[0]
+    else:
+        kld_obj = kld
 
-    loss = rce + beta * kld
+    loss = rce + beta * kld_obj
     rce_prop = jnp.zeros((), jnp.float32)
     if logits_prop is not None and trg_props is not None:
         rce_prop = jnp.sum((logits_prop.astype(jnp.float32) - trg_props) ** 2)

@@ -41,7 +41,8 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
-def _forward_loss(model, params, batch, beta, pad_id, use_cond2dec, rng):
+def _forward_loss(model, params, batch, beta, pad_id, use_cond2dec, rng,
+                  free_bits=0.0):
     """batch: dict(src (bs,Ls), trg (bs,Lt) [, econds, dconds])."""
     econds = batch.get("econds")
     dconds = batch.get("dconds")
@@ -60,7 +61,7 @@ def _forward_loss(model, params, batch, beta, pad_id, use_cond2dec, rng):
     else:
         out_prop, trg_props = None, None
     loss, aux = elbo_loss(out_mol, labels, mu, log_var, beta, pad_id,
-                          out_prop, trg_props)
+                          out_prop, trg_props, free_bits=free_bits)
     n = src.shape[0]
     aux = {k: v / n for k, v in aux.items()}  # per-sample history parity
     return loss, aux
@@ -68,7 +69,7 @@ def _forward_loss(model, params, batch, beta, pad_id, use_cond2dec, rng):
 
 def make_train_step(model, pad_id: int, use_cond2dec: bool,
                     lr_schedule: Optional[Callable] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, free_bits: float = 0.0) -> Callable:
     """Returns step(state, batch, beta, rng) -> (state, metrics).
 
     On a mesh, place batch arrays with NamedSharding(mesh, P('data'));
@@ -78,7 +79,8 @@ def make_train_step(model, pad_id: int, use_cond2dec: bool,
     def step(state: TrainState, batch, beta, rng):
         grad_fn = jax.value_and_grad(
             lambda p: _forward_loss(model, p, batch, beta, pad_id,
-                                    use_cond2dec, rng), has_aux=True)
+                                    use_cond2dec, rng, free_bits),
+            has_aux=True)
         (_, aux), grads = grad_fn(state.params)
         new_state = state.apply_gradients(grads)
         if lr_schedule is not None:

@@ -132,3 +132,40 @@ def test_train_step_sharded_over_mesh():
     # params must remain replicated-over-data after the update
     state2, aux2 = step(state, batch, 0.05, jax.random.PRNGKey(2))
     assert float(aux2["LOSS"]) < float(aux["LOSS"]) * 1.5
+
+
+def test_free_bits_kl_floor():
+    """free_bits floors the per-coordinate batch-mean KL: with a
+    near-posterior-collapse latent the objective sees at least
+    bs * n_coords * lambda nats; at 0.0 it reduces exactly to the
+    reference objective."""
+    import numpy as np
+
+    from gctplus_tpu.train.loss import elbo_loss
+
+    rng = np.random.default_rng(0)
+    bs, L, V, D = 4, 6, 12, 5
+    logits = jnp.asarray(rng.normal(size=(bs, L, V)), jnp.float32)
+    labels = jnp.asarray(rng.integers(2, V, size=(bs, L)), jnp.int32)
+    # collapsed posterior: mu ~ 0, log_var ~ 0 -> KL ~ 0 per coord
+    mu = jnp.full((bs, L, D), 1e-4, jnp.float32)
+    log_var = jnp.zeros((bs, L, D), jnp.float32)
+
+    l0, a0 = elbo_loss(logits, labels, mu, log_var, 1.0, pad_id=1)
+    l0_fb0, _ = elbo_loss(logits, labels, mu, log_var, 1.0, pad_id=1,
+                          free_bits=0.0)
+    assert float(l0) == float(l0_fb0)  # exact reference objective at 0
+
+    lam = 0.05
+    lfb, afb = elbo_loss(logits, labels, mu, log_var, 1.0, pad_id=1,
+                         free_bits=lam)
+    # reported KLD is the true KL (unchanged); the objective is floored
+    assert np.isclose(float(afb["KLD"]), float(a0["KLD"]))
+    floor = bs * L * D * lam
+    assert float(lfb) >= float(afb["RCE"]) + floor - 1e-3
+    # healthy (large-KL) posteriors are untouched by the floor
+    mu2 = jnp.asarray(rng.normal(size=(bs, L, D)) * 3, jnp.float32)
+    lh, ah = elbo_loss(logits, labels, mu2, log_var, 1.0, pad_id=1)
+    lh_fb, _ = elbo_loss(logits, labels, mu2, log_var, 1.0, pad_id=1,
+                         free_bits=lam)
+    assert np.isclose(float(lh), float(lh_fb))
