@@ -12,9 +12,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # the axon site hook pins JAX_PLATFORMS before conftest runs; override
 # through the config API (effective until the backend initializes)
+os.environ["GCTPLUS_NO_COMPILE_CACHE"] = "1"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# the package's cache bootstrap gates on the (hook-pinned) env var, so
+# also clear it explicitly: CPU AOT artifacts are machine-feature-
+# sensitive and must never be cached from test runs
+jax.config.update("jax_compilation_cache_dir", None)
 
 import sys
 from pathlib import Path
