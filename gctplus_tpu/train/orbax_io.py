@@ -55,13 +55,16 @@ class OrbaxCheckpointer:
             self.wait()
         return path
 
-    def restore(self, step: int, template) -> Any:
+    def restore(self, step: int, template: Optional[Any] = None) -> Any:
         """Restore onto `template`'s structure/shardings (an abstract or
-        concrete {params, opt_state, step} tree)."""
+        concrete FULL {params, opt_state, step} tree — partial trees
+        don't match the on-disk structure). With template=None the
+        checkpoint is returned as host arrays in its saved structure."""
         self.wait()
         path = os.path.join(self.root, str(step))
-        return self._ckptr.restore(
-            path, args=_std_args().StandardRestore(template))
+        args = (_std_args().StandardRestore(template)
+                if template is not None else _std_args().StandardRestore())
+        return self._ckptr.restore(path, args=args)
 
     def hyper(self, step: int) -> Dict:
         with open(os.path.join(self.root, f"{step}.hyper.json")) as f:

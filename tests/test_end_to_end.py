@@ -131,3 +131,47 @@ def test_finetune_with_frozen_encoder(workspace, tmp_path):
     for k in enc:
         assert np.array_equal(fa[k], fb[k]), f"frozen leaf moved: {k}"
     assert any(not np.array_equal(fa[k], fb[k]) for k in dec)
+
+
+def test_train_with_orbax_backend(workspace, tmp_path):
+    """-ckpt_backend orbax: the epoch loop writes async orbax shards
+    alongside the portable msgpack, and the shards restore bit-exact."""
+    import numpy as np
+
+    root, out = workspace
+    args = types.SimpleNamespace(
+        seed=0, start_epoch=1, num_epoch=1, batch_size=32,
+        property_list=[], model_type="vaetf",
+        model_folder=str(tmp_path / "run_orbax"), use_scaffold=False,
+        randomize_prob=0.0, prepared_folder=str(root / "prepared"),
+        util_folder=str(root / "utils"), debug=True,
+        use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
+        KLA_max_beta=1.0, KLA_beg_epoch=1, lr_scheduler="WarmUpDefault",
+        lr_WarmUpSteps=100, lr=1e-4, lr_beta1=0.9, lr_beta2=0.98,
+        lr_eps=1e-9, n_data_shards=None, n_model_shards=1,
+        compute_dtype="float32", ckpt_backend="orbax",
+        N=1, H=4, d_ff=64, d_model=32, latent_dim=8, dropout=0.0,
+        variational=True, use_cond2dec=False, use_cond2lat=False,
+        get_attn=False, skip_valid=True)
+
+    from gctplus_tpu.tasks.train_task import train_task
+    train_task(args)
+
+    run = tmp_path / "run_orbax"
+    assert (run / "model_1.msgpack").exists()
+    assert (run / "orbax" / "1").is_dir()
+
+    # orbax restore matches the msgpack params
+    from flax import serialization
+    from gctplus_tpu.train.loop import load_checkpoint
+    from gctplus_tpu.train.orbax_io import OrbaxCheckpointer
+
+    blob = load_checkpoint(str(run / "model_1.msgpack"))
+    ck = OrbaxCheckpointer(str(run))
+    assert ck.latest_step() == 1
+    import jax as _jax
+    restored = ck.restore(1)["params"]  # template-less host restore
+    for a, b in zip(_jax.tree_util.tree_leaves(restored),
+                    _jax.tree_util.tree_leaves(blob["params"])):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    ck.close()
