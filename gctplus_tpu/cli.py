@@ -108,11 +108,15 @@ def main(argv=None):
         p_sampling(args, train=train)
     elif args.cmd == "sca-sampling":
         from gctplus_tpu.tasks.sca_sampling import sca_sampling
-        src_df = _load_set(args, args.scaffold_source) or train_df
+        src_df = _load_set(args, args.scaffold_source)
+        if src_df is None:  # `or` would choke on DataFrame truthiness
+            src_df = train_df
         sca_sampling(args, src_df["scaffold"].tolist(), train=train)
     elif args.cmd == "psca-sampling":
         from gctplus_tpu.tasks.psca_sampling import psca_sampling
-        src_df = _load_set(args, args.scaffold_source) or train_df
+        src_df = _load_set(args, args.scaffold_source)
+        if src_df is None:
+            src_df = train_df
         psca_sampling(args, src_df["scaffold"].tolist())
     elif args.cmd == "mol-interpolation":
         from gctplus_tpu.tasks.mol_interpolation import mol_interpolation

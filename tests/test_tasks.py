@@ -139,3 +139,28 @@ def test_psca_sampling_task(tiny_setup):
     assert {"SSF", "valid_molgpt"} <= set(df.columns)
     res = root / "results" / "psca_sampling"
     assert (res / "metric_by_scaffold.csv").exists()
+
+
+def test_cli_sca_sampling_dispatch(tiny_setup, tmp_path):
+    """CLI end-to-end dispatch (cli.py): the sca-sampling subcommand
+    loads the scaffold source DataFrame (regression: `df or fallback`
+    raised on DataFrame truthiness) and runs the task."""
+    from gctplus_tpu import cli
+
+    root, out, runs = tiny_setup
+    save = tmp_path / "cli_results"
+    cli.main([
+        "sca-sampling",
+        "-model_type", "scavaetf",
+        "-model_folder", runs["scavaetf"],
+        "-model_name", "model_1.msgpack",
+        "-util_folder", str(root / "utils"),
+        "-data_folder", str(root),
+        "-save_folder", str(save),
+        "-max_strlen", "24", "-batch_size", "8", "-n_jobs", "1",
+        "-n_samples", "4", "-n_scaffolds", "2",
+        "-scaffold_source", "test_scaffolds",
+        "-N", "1", "-H", "4", "-d_ff", "64", "-d_model", "32",
+        "-latent_dim", "8", "-dropout", "0.0",
+    ])
+    assert (save / "sca_sampling" / "metric.csv").exists()
