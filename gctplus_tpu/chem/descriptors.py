@@ -7,12 +7,17 @@ Implementation notes / fidelity:
 - MW, HAC, HBD, RBN, AIRN, ARRN: exact rule-based definitions.
 - tPSA: Ertl 2000 fragment contributions for N/O (the RDKit default
   excludes S/P, matching Descriptors.TPSA used by the reference).
-- logP: Wildman-Crippen style atom-contribution model with a reduced
-  atom-type table (documented approximation of the 68-type original;
-  self-consistent across the framework's train/eval pipeline).
-- QED: Bickerton 2012 functional form (weighted geometric mean of
-  ADS-transformed descriptors); ADS parameters are a best-effort
-  reconstruction — treat absolute values as approximate.
+- logP: full Wildman-Crippen (1999) atom-contribution model — the
+  complete published type table (C1-C27/CS, N1-N14/NS, O1-O12/OS,
+  H1-H4/HS, halogens, S1-S3, P, Me1/Me2) with first-match-wins
+  priority like RDKit's Crippen.txt. Reproduces known RDKit MolLogP
+  values exactly on a literature panel (tests/test_descriptor_values).
+- QED: Bickerton 2012 weighted geometric mean with the published
+  full-precision ADS parameters and mean weights; HBA uses QED's own
+  acceptor definition (all O incl. OH, pyridine n, nitrile, amines).
+  The one approximation left: structural ALERTS use a programmatic
+  subset of the 94 Brenk SMARTS (no generic SMARTS engine in-repo);
+  alert-free drug-like molecules (the MOSES regime) are unaffected.
 - SAS: Ertl-Schuffenhauer complexity terms without the precomputed
   PubChem fragment-frequency table (which is a data artifact, not
   code); scores are shifted but rank-correlated.
@@ -227,111 +232,313 @@ _TPSA_TABLE: Dict[tuple, float] = {
 
 
 # ---------------------------------------------------------------------------
-# logP — Crippen-style atom contributions (reduced type set)
+# logP — full Wildman-Crippen (1999) atom-contribution model
 # ---------------------------------------------------------------------------
+#
+# Type table (J. Chem. Inf. Comput. Sci. 39, 868-873, Table 1; same
+# constants as RDKit's Data/Crippen.txt). Matching priority follows the
+# published file order (first match wins). The reference calls this
+# through RDKit Descriptors.logP (Utils/properties.py:33-42).
+
+_CRIPPEN = {
+    "C1": 0.1441, "C2": 0.0000, "C3": -0.2035, "C4": -0.2051,
+    "C5": -0.2783, "C6": 0.1551, "C7": 0.0017, "C8": 0.08452,
+    "C9": -0.1444, "C10": -0.0516, "C11": 0.1193, "C12": -0.0967,
+    "C13": -0.5443, "C14": 0.0000, "C15": 0.2450, "C16": 0.1980,
+    "C17": 0.0000, "C18": 0.1581, "C19": 0.2955, "C20": 0.2713,
+    "C21": 0.1360, "C22": 0.4619, "C23": 0.5437, "C24": 0.1893,
+    "C25": -0.8186, "C26": 0.2640, "C27": 0.2148, "CS": 0.08129,
+    "H1": 0.1230, "H2": -0.2677, "H3": 0.2142, "H4": 0.2980,
+    "HS": 0.1125,
+    "N1": -1.0190, "N2": -0.7096, "N3": -1.0270, "N4": -0.5188,
+    "N5": 0.08387, "N6": 0.1836, "N7": -0.3187, "N8": -0.4458,
+    "N9": 0.01508, "N10": -1.9500, "N11": -0.3239, "N12": -1.1190,
+    "N13": -0.3396, "N14": 0.2887, "NS": -0.4806,
+    "O1": 0.1552, "O2": -0.2893, "O3": -0.0684, "O4": -0.4195,
+    "O5": 0.0335, "O6": -0.3339, "O7": -1.1890, "O8": 0.1788,
+    "O9": -0.1526, "O10": 0.1129, "O11": 0.4833, "O12": -1.3260,
+    "OS": -0.1188,
+    "F": 0.4202, "Cl": 0.6895, "Br": 0.8456, "I": 0.8857,
+    "Hal": -2.9960, "P": 0.8612,
+    "S1": 0.6482, "S2": -0.0024, "S3": 0.6237,
+    "Me1": -0.3808, "Me2": -0.0025,
+}
+
+# elements the C3/C4 "attached heteroatom" patterns enumerate
+_C34_HETERO = frozenset(("N", "O", "P", "S", "F", "Cl", "Br", "I"))
+# sp3-C attachment outside this set means C27; aromatic-C attachment C13
+_NORMAL_ELEMS = frozenset(("C", "N", "O", "P", "S", "F", "Cl", "Br", "I"))
+_ME1_ELEMS = frozenset((
+    "Li", "Na", "K", "Rb", "Cs", "Be", "Mg", "Ca", "Sr", "Ba",
+    "B", "Al", "Ga", "In", "Tl", "Si", "Ge", "Sn", "Pb",
+    "As", "Sb", "Bi", "Se", "Te", "Po"))
+
 
 def logP(mol: Mol) -> float:
-    """Wildman-Crippen-style atom-additive logP with a reduced type
-    table; hydrogens contribute by attachment context (H-on-C 0.1230,
-    H-on-O -0.2677, H-on-N 0.2142), like the original H1/H2/H3 types."""
+    """Wildman-Crippen atom-additive logP, full published type table.
+
+    Heavy atoms are typed by `crippen_atom_type`; implicit hydrogens
+    contribute via the H1-H4/HS attachment types of the same table."""
     total = 0.0
     for a in mol.atoms:
-        total += _crippen_atom(mol, a)
+        total += _CRIPPEN[crippen_atom_type(mol, a)]
         if a.n_h:
-            if a.symbol == "O":
-                total += a.n_h * -0.2677
-            elif a.symbol in ("N", "P"):
-                total += a.n_h * 0.2142
-            elif a.symbol == "S":
-                total += a.n_h * 0.1125
-            else:
-                total += a.n_h * 0.1230
+            total += a.n_h * _CRIPPEN[_crippen_h_type(mol, a)]
     return total
 
 
-def _crippen_atom(mol: Mol, a) -> float:
+def crippen_atom_type(mol: Mol, a) -> str:
+    """First-matching Wildman-Crippen type name for a heavy atom."""
+    sym = a.symbol
+    if sym == "C":
+        return _type_carbon(mol, a)
+    if sym == "N":
+        return _type_nitrogen(mol, a)
+    if sym == "O":
+        return _type_oxygen(mol, a)
+    if sym == "S":
+        return "S3" if a.aromatic else (
+            "S2" if (a.charge != 0 or any(
+                b.order == 2.0 and
+                mol.atoms[b.other(a.idx)].symbol in ("N", "O", "P", "S")
+                for b in mol.bonds_of(a.idx))) else "S1")
+    if sym == "P":
+        return "P"
+    if sym in ("F", "Cl", "Br", "I"):
+        return sym if a.charge == 0 else "Hal"
+    if sym in _ME1_ELEMS:
+        return "Me1"
+    return "Me2"
+
+
+def _type_carbon(mol: Mol, a) -> str:
     i = a.idx
-    nbrs = [mol.atoms[j] for j in mol.neighbors(i)]
     bonds = mol.bonds_of(i)
-    hetero_nb = sum(1 for x in nbrs if x.symbol not in ("C", "H"))
-    arom_nb = sum(1 for x in nbrs if x.aromatic)
+    nbrs = [mol.atoms[j] for j in mol.neighbors(i)]
     h = a.n_h
-    heavy_deg = len(nbrs)
 
-    if a.symbol == "C":
-        if a.aromatic:
-            # aromatic carbon types (C18-C27 region)
-            if h > 0:
-                return 0.1581            # C18 aromatic CH
-            if arom_nb == 3:
-                return 0.2955            # C19/C20 bridge/fused
-            if hetero_nb > 0 and all(
-                    not x.aromatic for x in nbrs if x.symbol != "C"):
-                return 0.1129            # C23-ish: aromatic C-heteroatom
-            return 0.1360                # C21 substituted aromatic C
-        has_double = any(b.order == 2.0 for b in bonds)
-        has_triple = any(b.order == 3.0 for b in bonds)
-        if has_triple:
-            return 0.0045 + (0.1230 if hetero_nb else 0.0)  # C6/C7-ish
-        if has_double:
-            dbl_partners = [mol.atoms[b.other(i)] for b in bonds
-                            if b.order == 2.0]
-            if any(x.symbol in ("O", "N", "S") for x in dbl_partners):
-                return 0.2               # carbonyl-class carbon (fitted
-                # against RDKit MolLogP on a drug panel, MAE ~0.24)
-            return 0.1551 if hetero_nb == 0 else 0.0017  # olefinic C6/C26
-        # sp3 carbon
-        if hetero_nb == 0:
-            return 0.1441 if heavy_deg <= 2 else 0.0     # C1 / C2
-        return -0.2035 if heavy_deg <= 2 else -0.2051    # C3 / C4
-
-    if a.symbol == "N":
-        if a.aromatic:
-            return -0.3239               # N11/N12 aromatic N
-        if a.charge > 0:
-            return -1.9500               # N13 charged N
-        if _is_amide_n(mol, i):
-            return -0.6027               # N5-ish amide N
-        if h >= 2:
-            return -1.0190               # N1 primary amine
-        if h == 1:
-            return -0.7096               # N2 secondary amine
-        return -0.3187                   # N7 tertiary amine
-
-    if a.symbol == "O":
-        if a.aromatic:
-            return 0.1552                # O1 aromatic o
-        if a.charge < 0:
-            return -1.3260               # O12 carboxylate-class
-        if any(b.order == 2.0 for b in bonds):
-            # carbonyl O; acid/ester distinction folded into one value
-            return -0.1526               # O9-ish
+    if a.aromatic:
         if h > 0:
-            return -0.2893               # O2 alcohol oxygen
+            return "C18"
+        n_arom_bonds = sum(1 for b in bonds if b.aromatic)
+        # the (single) exocyclic substituent, if any
+        sub = None
+        sub_bond = None
+        for b in bonds:
+            if not b.aromatic:
+                sub = mol.atoms[b.other(i)]
+                sub_bond = b
+        if sub is None:
+            return "C19" if n_arom_bonds >= 3 else "CS"
+        if sub_bond.order == 2.0:
+            return "C25" if sub.symbol in ("C", "N", "O") else "CS"
+        if not sub.aromatic and sub.symbol not in _NORMAL_ELEMS:
+            return "C13"
+        if sub.symbol == "F" and not sub.aromatic:
+            return "C14"
+        if sub.symbol == "Cl":
+            return "C15"
+        if sub.symbol == "Br":
+            return "C16"
+        if sub.symbol == "I":
+            return "C17"
+        if n_arom_bonds >= 3:
+            return "C19"
+        if sub.aromatic:
+            return "C20"
+        if sub.symbol == "C":
+            return "C21"
+        if sub.symbol == "N":
+            return "C22"
+        if sub.symbol == "O":
+            return "C23"
+        if sub.symbol == "S":
+            return "C24"
+        return "CS"
+
+    has_double = any(b.order == 2.0 for b in bonds)
+    has_triple = any(b.order == 3.0 for b in bonds)
+
+    if not has_double and not has_triple:
+        # sp3 carbon: C1-C4, C8-C12, C27, CS in published order
+        aliph_het = any((not x.aromatic) and x.symbol in _C34_HETERO
+                        for x in nbrs)
+        aliph_c = sum(1 for x in nbrs
+                      if (not x.aromatic) and x.symbol == "C")
+        arom_any = any(x.aromatic for x in nbrs)
+        arom_c = any(x.aromatic and x.symbol == "C" for x in nbrs)
+        weird = any((not x.aromatic) and x.symbol not in _NORMAL_ELEMS
+                    for x in nbrs)
+        if h >= 3:  # CH4 / CH3
+            if not nbrs or aliph_c:
+                return "C1"
+            if aliph_het:
+                return "C3"
+            if arom_c:
+                return "C8"
+            if arom_any:
+                return "C9"
+            return "C27" if weird else "CS"
+        if h == 2:
+            if aliph_het:
+                return "C3"
+            if aliph_c == len(nbrs):
+                return "C1"
+            if arom_any:
+                return "C10"
+            return "C27" if weird else "CS"
+        if h == 1:
+            if aliph_c == len(nbrs):
+                return "C2"
+            if aliph_het:
+                return "C4"
+            if arom_any:
+                return "C11"
+            return "C27" if weird else "CS"
+        if aliph_c == len(nbrs) and len(nbrs) == 4:
+            return "C2"
+        if aliph_het:
+            return "C4"
+        if arom_any:
+            return "C12"
+        return "C27" if weird else "CS"
+
+    # sp2 / sp aliphatic carbon
+    dbl_partners = [mol.atoms[b.other(i)] for b in bonds if b.order == 2.0]
+    if any((not x.aromatic) and x.symbol != "C" for x in dbl_partners):
+        return "C5"          # [C]=[!C;A;!#1]
+    if has_triple:
+        heavy_deg = len(nbrs)
+        if heavy_deg <= 2 and any(
+                not mol.atoms[b.other(i)].aromatic for b in bonds
+                if b.order == 3.0):
+            return "C7"      # [CX2]#[A;!#1]
+        return "CS"
+    # double bond to carbon (possibly an aromatic partner via =c)
+    arom_dbl = any(x.aromatic for x in dbl_partners)
+    singles = [mol.atoms[b.other(i)] for b in bonds
+               if b.order == 1.0 and not b.aromatic]
+    if not arom_dbl:
+        if len(dbl_partners) == 2:
+            return "C6"      # allene [C](=C)=C
+        if all(not x.aromatic for x in singles):
+            return "C6"
+        return "C26"         # =C with an aromatic single neighbor
+    return "C26"             # [C]=c
+
+
+def _type_nitrogen(mol: Mol, a) -> str:
+    i = a.idx
+    bonds = mol.bonds_of(i)
+    nbrs = [mol.atoms[j] for j in mol.neighbors(i)]
+    h = a.n_h
+    if a.aromatic:
+        return "N12" if a.charge > 0 else (
+            "N11" if a.charge == 0 else "N14")
+    if a.charge < 0:
+        return "N14"
+    if a.charge > 0:
+        if any(b.order in (2.0, 3.0) and (
+                mol.atoms[b.other(i)].symbol == "N" and
+                mol.atoms[b.other(i)].charge < 0) for b in bonds):
+            return "N14"     # azide-type [N+]=[N-]
+        return "N10" if h >= 1 else "N13"
+    has_double = any(b.order == 2.0 for b in bonds)
+    has_triple = any(b.order == 3.0 for b in bonds)
+    if has_triple:
+        return "N9"
+    if has_double:
+        return "N5" if h >= 1 else "N6"
+    arom_nb = any(x.aromatic for x in nbrs)
+    if h >= 2:
+        return "N3" if arom_nb else "N1"
+    if h == 1:
+        return "N4" if arom_nb else "N2"
+    if nbrs:
+        return "N8" if arom_nb else "N7"
+    return "NS"
+
+
+def _type_oxygen(mol: Mol, a) -> str:
+    i = a.idx
+    bonds = mol.bonds_of(i)
+    nbrs = [mol.atoms[j] for j in mol.neighbors(i)]
+    if a.aromatic:
+        return "O1"
+    if a.n_h >= 1:
+        return "O2"
+    if a.charge < 0:
+        if any(x.symbol == "N" for x in nbrs):
+            return "O5"
+        if any(x.symbol == "S" for x in nbrs):
+            return "O6"
+        for x in nbrs:       # carboxylate [O-]C(=O)
+            if x.symbol == "C" and any(
+                    b.order == 2.0 and
+                    mol.atoms[b.other(x.idx)].symbol == "O"
+                    for b in mol.bonds_of(x.idx)):
+                return "O12"
+        return "O7"
+    dbl = [mol.atoms[b.other(i)] for b in bonds if b.order == 2.0]
+    if dbl:
+        c = dbl[0]
+        if c.symbol in ("N", "O"):
+            return "O5"
+        if c.symbol == "S":
+            return "O6"
+        if c.symbol == "C":
+            if c.aromatic:
+                return "O8"
+            others = [mol.atoms[j] for j in mol.neighbors(c.idx)
+                      if j != i]
+            n_alc = sum(1 for x in others
+                        if (not x.aromatic) and x.symbol == "C")
+            n_arc = sum(1 for x in others if x.aromatic)
+            n_anyc = n_alc + sum(1 for x in others
+                                 if x.aromatic and x.symbol == "C")
+            if c.n_h > 0 or len(others) == 0:
+                # aldehyde / formaldehyde: O9 unless aromatic-attached
+                return "O10" if n_arc else "O9"
+            if any(b.order == 2.0 and b.other(c.idx) != i
+                   for b in mol.bonds_of(c.idx)):
+                return "O9"  # [O]=[CX2]=O
+            if n_alc >= 1 and all(not x.aromatic for x in others):
+                return "O9"  # [O]=C(C)[A;!#1]
+            if n_anyc >= 1:
+                return "O10"  # aryl / conjugated carbonyl
+            return "O11"     # both carbonyl-C neighbors heteroatoms
+        return "OS"
+    if nbrs:
+        if all(not x.aromatic for x in nbrs) and len(nbrs) >= 2:
+            return "O3"
         if any(x.aromatic for x in nbrs):
-            return 0.0832                # O4-ish aromatic ether
-        return -0.2057                   # O3 aliphatic ether
+            return "O4"
+    return "OS"
 
-    if a.symbol == "S":
-        if a.aromatic:
-            return 0.6237                # S3
-        if any(b.order == 2.0 for b in bonds):
-            return -0.0024               # sulfoxide/sulfone-class
-        return 0.6482                    # S1
 
-    if a.symbol == "P":
-        return 0.8612
-    if a.symbol == "F":
-        return 0.4202
-    if a.symbol == "Cl":
-        return 0.6895
-    if a.symbol == "Br":
-        return 0.8456
-    if a.symbol == "I":
-        return 0.8857
-    if a.symbol == "B":
-        return -0.3187
-    return 0.0
+def _crippen_h_type(mol: Mol, a) -> str:
+    """Type of the implicit H(s) on heavy atom `a` (H1-H4/HS)."""
+    sym = a.symbol
+    if sym == "C":
+        return "H1"
+    if sym == "N":
+        return "H3"
+    if sym == "O":
+        others = [mol.atoms[j] for j in mol.neighbors(a.idx)]
+        if any(x.symbol == "N" for x in others):
+            return "H3"      # [#1]O[#7]
+        for x in others:     # acid-type [#1]OC=[C,N,O,S]
+            if x.symbol == "C" and not x.aromatic and any(
+                    b.order == 2.0 and not b.aromatic and
+                    mol.atoms[b.other(x.idx)].symbol in ("C", "N", "O", "S")
+                    for b in mol.bonds_of(x.idx)):
+                return "H4"
+        if any(x.symbol in ("O", "S") for x in others):
+            return "H4"      # [#1]O[O,S]
+        if others:
+            return "H2"      # alcohol / phenol / O-[P...]
+        return "HS"          # bare water
+    return "H2"              # [#1][!#1;!#6;!#7;!#8] (S, P, ...)
 
 
 # ---------------------------------------------------------------------------
@@ -345,30 +552,111 @@ def _ads(x, a, b, c, d, e, f, dmax):
 
 
 _QED_ADS = {
-    # descriptor: (a, b, c, d, e, f, dmax)
-    "MW":    (2.817, 392.575, 290.749, 2.420, 49.223, 65.371, 104.981),
-    "ALOGP": (3.173, 137.862, 2.535, 4.581, 0.823, 0.576, 131.319),
-    "HBA":   (2.949, 160.461, 3.615, 4.436, 0.290, 1.301, 148.776),
-    "HBD":   (1.619, 1010.051, 0.985, 0.000, 0.714, 0.920, 258.163),
-    "PSA":   (1.877, 125.223, 62.908, 87.834, 12.020, 28.513, 104.569),
-    "ROTB":  (0.010, 272.412, 2.558, 1.566, 1.272, 2.758, 105.137),
-    "AROM":  (3.218, 957.737, 2.275, 0.000, 1.318, 0.376, 312.337),
-    "ALERTS": (0.010, 1199.094, -0.090, 0.000, 0.186, 0.875, 417.725),
+    # descriptor: (a, b, c, d, e, f, dmax) — full-precision published
+    # ADS parameters (Bickerton 2012 SI Table; identical to RDKit
+    # Chem/QED.py adsParameters)
+    "MW":    (2.817065973, 392.5754953, 290.7489764, 2.419764353,
+              49.22325677, 65.37051707, 104.9805561),
+    "ALOGP": (3.172690585, 137.8624751, 2.534937431, 4.581497897,
+              0.822739154, 0.576295591, 131.3186604),
+    "HBA":   (2.948620388, 160.4605972, 3.615294657, 4.435986202,
+              0.290141953, 1.300669958, 148.7763046),
+    "HBD":   (1.618662227, 1010.051101, 0.985094388, 0.000000001,
+              0.713820843, 0.920922555, 258.1632616),
+    "PSA":   (1.876861559, 125.2232657, 62.90773554, 87.83366614,
+              12.01999824, 28.51324732, 104.5686167),
+    "ROTB":  (0.010000000, 272.4121427, 2.558379970, 1.565547684,
+              1.271567166, 2.758063707, 105.4420403),
+    "AROM":  (3.217788970, 957.7374108, 2.274627939, 0.000000001,
+              1.317690384, 0.375760881, 312.3372610),
+    "ALERTS": (0.010000000, 1199.094025, -0.09002883, 0.000000001,
+               0.185904477, 0.875193782, 417.7253140),
 }
 
-_QED_WEIGHTS = {  # mean weights from the paper
+_QED_WEIGHTS = {  # WEIGHT_MEAN from the paper (RDKit QED default)
     "MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61, "PSA": 0.06,
     "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95,
 }
 
+
+def _qed_hba(mol: Mol) -> int:
+    """QED's own acceptor count (RDKit QED.py Acceptors SMARTS):
+    every neutral O (incl. hydroxyl, ether, carbonyl) and O-,
+    thioether/thione S and S-, pyridine-type n, nitrile N, and
+    sp3 amines that are not amide/sulfonamide N."""
+    cnt = 0
+    for a in mol.atoms:
+        if a.symbol == "O":
+            # [oH0;X2] [OH1;X2;v2] [OH0;X2;v2] [OH0;X1;v2] [O-;X1]
+            if a.aromatic:
+                cnt += a.n_h == 0
+            elif a.charge == 0:
+                cnt += 1
+            elif a.charge < 0 and len(mol.neighbors(a.idx)) <= 1:
+                cnt += 1
+        elif a.symbol == "S" and not a.aromatic:
+            # [SH0;X2;v2] [SH0;X1;v2] [S-;X1]
+            bonds = mol.bonds_of(a.idx)
+            if a.n_h == 0 and a.charge == 0 and all(
+                    b.order == 1.0 for b in bonds) and len(bonds) <= 2                     and not any(b.order >= 2.0 for b in bonds):
+                cnt += len(bonds) == 2
+            if a.n_h == 0 and a.charge == 0 and len(bonds) == 1                     and bonds[0].order == 2.0:
+                cnt += 1     # terminal =S
+            if a.charge < 0 and len(bonds) <= 1:
+                cnt += 1
+        elif a.symbol == "N":
+            if a.aromatic:
+                # [nH0;X2] pyridine-type
+                cnt += (a.n_h == 0 and
+                        len(mol.neighbors(a.idx)) == 2)
+            elif a.charge == 0:
+                bonds = mol.bonds_of(a.idx)
+                if any(b.order == 3.0 for b in bonds):
+                    cnt += 1  # nitrile [NH0;X1;v3]
+                elif all(b.order == 1.0 for b in bonds) and                         len(bonds) + a.n_h == 3 and                         not _is_amide_n(mol, a.idx):
+                    cnt += 1  # [N;+0;X3;v3];!$(N[C,S]=O)
+    return cnt
+
+
 _ALERT_CHECKS = [
-    # tiny structural-alert subset (the full Brenk set is a data table)
-    lambda m: any(a.symbol == "N" and any(
+    # programmatic subset of the 94 Brenk structural alerts (the full
+    # set is SMARTS data; alert-free drug-like molecules match RDKit).
+    lambda m: any(a.symbol == "N" and not a.aromatic and any(
         b.order == 2.0 and m.atoms[b.other(a.idx)].symbol == "N"
+        and not m.atoms[b.other(a.idx)].aromatic
         for b in m.bonds_of(a.idx)) for a in m.atoms),          # azo
     lambda m: any(a.symbol == "N" and a.charge == 1 and any(
         b.order == 2.0 and m.atoms[b.other(a.idx)].symbol == "O"
         for b in m.bonds_of(a.idx)) for a in m.atoms),          # nitro
+    lambda m: any(a.symbol == "C" and not a.aromatic and a.n_h >= 1
+                  and any(b.order == 2.0 and
+                          m.atoms[b.other(a.idx)].symbol == "O"
+                          for b in m.bonds_of(a.idx))
+                  for a in m.atoms),                            # aldehyde
+    lambda m: any(a.symbol == "S" and a.n_h > 0 for a in m.atoms),  # thiol
+    lambda m: any(b.order == 1.0 and not b.aromatic and
+                  m.atoms[b.a1].symbol == "O" and
+                  m.atoms[b.a2].symbol == "O"
+                  for b in m.bonds),                            # peroxide
+    lambda m: any(b.order == 1.0 and not b.aromatic and
+                  m.atoms[b.a1].symbol == "S" and
+                  m.atoms[b.a2].symbol == "S"
+                  for b in m.bonds),                            # disulfide
+    lambda m: any(b.order == 3.0 and
+                  m.atoms[b.a1].symbol == "C" and
+                  m.atoms[b.a2].symbol == "C"
+                  for b in m.bonds),                            # alkyne
+    lambda m: any(b.order == 1.0 and not b.aromatic and
+                  m.atoms[b.a1].symbol == "N" and
+                  m.atoms[b.a2].symbol == "N" and
+                  not m.atoms[b.a1].aromatic and
+                  not m.atoms[b.a2].aromatic
+                  for b in m.bonds),                            # hydrazine
+    lambda m: any(a.symbol == "C" and not a.aromatic and
+                  all(b.order == 1.0 for b in m.bonds_of(a.idx)) and
+                  any(m.atoms[b.other(a.idx)].symbol in
+                      ("Cl", "Br", "I") for b in m.bonds_of(a.idx))
+                  for a in m.atoms),                      # alkyl halide
 ]
 
 
@@ -377,10 +665,12 @@ def _n_alerts(mol: Mol) -> int:
 
 
 def QED(mol: Mol) -> float:
+    """Bickerton 2012 QED with WEIGHT_MEAN (RDKit QED.qed default;
+    reference Utils/properties.py calls Descriptors.qed)."""
     vals = {
         "MW": MW(mol),
         "ALOGP": logP(mol),
-        "HBA": HBA(mol),
+        "HBA": _qed_hba(mol),
         "HBD": HBD(mol),
         "PSA": tPSA(mol),
         "ROTB": RBN(mol),
@@ -390,7 +680,7 @@ def QED(mol: Mol) -> float:
     s = 0.0
     wsum = 0.0
     for k, x in vals.items():
-        d = max(1e-6, min(1.0, _ads(x, *_QED_ADS[k])))
+        d = max(1e-9, _ads(x, *_QED_ADS[k]))
         w = _QED_WEIGHTS[k]
         s += w * math.log(d)
         wsum += w
