@@ -105,7 +105,7 @@ def main(argv=None):
         uc_sampling(args, train=train, test=test)
     elif args.cmd == "p-sampling":
         from gctplus_tpu.tasks.p_sampling import p_sampling
-        p_sampling(args, train=train)
+        p_sampling(args, train=train, train_props=train_df)
     elif args.cmd == "sca-sampling":
         from gctplus_tpu.tasks.sca_sampling import sca_sampling
         src_df = _load_set(args, args.scaffold_source)

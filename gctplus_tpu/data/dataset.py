@@ -188,7 +188,37 @@ class BatchLoader:
             return n // self.batch_size
         return math.ceil(n / self.batch_size)
 
+    def _check_truncation(self, strings) -> None:
+        """Warn (once, with a running count) when a sequence exceeds
+        fixed_len and will lose tokens — incl. its <eos>. The reference
+        filters by max_strlen at preprocess time (preprocess.py:135);
+        nothing enforces it at load time here, so surface it."""
+        if self.fixed_len is None:
+            return
+        # token count <= char count, so only char-long rows can overflow
+        sus = [s for s in strings if len(s) > self.fixed_len]
+        if not sus:
+            return
+        tok = self.ds.tokenizer
+        n = sum(1 for s in sus
+                if len(tok._with_sep(s) if self.use_scaffold else tok(s))
+                > self.fixed_len)
+        if n:
+            self._n_truncated += n
+            if not self._truncation_warned:
+                self._truncation_warned = True
+                import logging
+                logging.getLogger("gctplus").warning(
+                    "BatchLoader(fixed_len=%d): %d sequence(s) exceed "
+                    "the bucket and are truncated (losing <eos>); "
+                    "filter the corpus by max_strlen at preprocess "
+                    "time to avoid this.", self.fixed_len, n)
+        return
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if not hasattr(self, "_truncation_warned"):
+            self._truncation_warned = False
+            self._n_truncated = 0
         idx = self.bucketed_indices() if self.length_bucketing \
             else self._indices()
         sv, tv = self.ds.src_vocab, self.ds.trg_vocab
@@ -206,6 +236,7 @@ class BatchLoader:
                 strings = [r["scaffold"] + "<sep>" + r["smiles"] for r in rows]
             else:
                 strings = [r["smiles"] for r in rows]
+            self._check_truncation(strings)
 
             if self._native_src is not None:
                 max_src = self.fixed_len or 256

@@ -9,10 +9,12 @@ fingerprint reductions (IntDiv, SNN) ride the MXU via
 bulk_tanimoto_matrix.
 
 `Frag/Test` uses the in-repo BRICS-style decomposition
-(chem/brics.py) with moses' cosine formula. Scaffold-set overlap
-`Scaf` is approximated with Murcko scaffolds. Not implemented: FCD
-(needs the pretrained ChemNet weights — a data artifact, not code);
-frechet_descriptor_distance is the in-repo stand-in.
+(chem/brics.py) with moses' cosine formula. `Scaf/Test` is moses'
+cosine over Murcko-scaffold frequency vectors (scaf_similarity);
+the binary set-overlap diagnostic is kept as ScafOverlap. FCD has a
+full code path (eval/fcd.py) and runs whenever a local ChemNet
+artifact is present; frechet_descriptor_distance is the in-repo
+artifact-free stand-in.
 """
 
 from __future__ import annotations
@@ -104,12 +106,30 @@ def scaffold_set(smiles: Sequence[str], n_jobs: int = 1) -> set:
 
 def scaf_overlap(gen: Sequence[str], ref: Sequence[str], n_jobs: int = 1) -> float:
     """Fraction of gen molecules whose scaffold appears in ref
-    (approximation of moses' cosine Scaf metric)."""
+    (binary-overlap diagnostic; `scaf_similarity` is the moses metric)."""
     ref_scas = scaffold_set(ref, n_jobs)
     scas = [s for s in pmap(murcko_scaffold, gen, n_jobs) if s is not None]
     if not scas:
         return 0.0
     return sum(s in ref_scas for s in scas) / len(scas)
+
+
+def scaf_similarity(gen: Sequence[str], ref: Sequence[str],
+                    n_jobs: int = 1) -> float:
+    """moses `Scaf`: cosine similarity between Murcko-scaffold
+    frequency vectors of the two sets (moses/metrics/utils.py
+    cos_similarity over compute_scaffolds counts)."""
+    from collections import Counter
+
+    g = Counter(s for s in pmap(murcko_scaffold, gen, n_jobs) if s)
+    r = Counter(s for s in pmap(murcko_scaffold, ref, n_jobs) if s)
+    if not g or not r:
+        return float("nan")
+    keys = set(g) | set(r)
+    gv = np.asarray([g.get(k, 0) for k in keys], float)
+    rv = np.asarray([r.get(k, 0) for k in keys], float)
+    denom = np.linalg.norm(gv) * np.linalg.norm(rv)
+    return float(gv @ rv / denom) if denom else 0.0
 
 
 def frag_similarity(gen: Sequence[str], ref: Sequence[str],
@@ -179,24 +199,17 @@ def frechet_descriptor_distance(gen: Sequence[str], ref: Sequence[str],
     mu1, mu2 = g.mean(axis=0), r.mean(axis=0)
     c1 = np.cov(g, rowvar=False)
     c2 = np.cov(r, rowvar=False)
-    import scipy.linalg
-    covmean = scipy.linalg.sqrtm(c1 @ c2)
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    d2 = float(np.sum((mu1 - mu2) ** 2)
-               + np.trace(c1 + c2 - 2.0 * covmean))
-    return max(0.0, d2)
+    from gctplus_tpu.eval.fcd import frechet_distance
+    return frechet_distance(mu1, c1, mu2, c2)
 
 
-def fcd(gen: Sequence[str], ref: Sequence[str]):
-    """Frechet ChemNet Distance — requires the pretrained ChemNet
-    weights, a data artifact MOSES downloads at install time; no
-    network egress here. Raises with guidance instead of silently
-    returning a wrong number."""
-    raise NotImplementedError(
-        "FCD needs the pretrained ChemNet checkpoint (moses/fcd asset). "
-        "Place it locally and wire eval.fcd, or use SNN/IntDiv/KL-div "
-        "metrics which are fully in-repo.")
+def fcd(gen: Sequence[str], ref: Sequence[str],
+        model_path: Optional[str] = None, n_jobs: int = 1) -> float:
+    """Frechet ChemNet Distance (full code path in eval/fcd.py).
+    Needs a local ChemNet artifact (GCTPLUS_CHEMNET or artifacts/
+    chemnet.npz); raises with guidance when none is present."""
+    from gctplus_tpu.eval.fcd import fcd as _fcd
+    return _fcd(gen, ref, model_path=model_path, n_jobs=n_jobs)
 
 
 def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
@@ -217,5 +230,9 @@ def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
     if test is not None:
         out["SNN/Test"] = snn(gen, test, n_jobs)
         out["Frag/Test"] = frag_similarity(gen, test, n_jobs)
-        out["Scaf/Test"] = scaf_overlap(gen, test, n_jobs)
+        out["Scaf/Test"] = scaf_similarity(gen, test, n_jobs)
+        out["ScafOverlap/Test"] = scaf_overlap(gen, test, n_jobs)
+        from gctplus_tpu.eval.fcd import default_chemnet_path
+        if default_chemnet_path():
+            out["FCD/Test"] = fcd(gen, test, n_jobs=n_jobs)
     return out

@@ -82,8 +82,8 @@ def latent_analysis(args, smiles: Sequence[str], log=None) -> dict:
         fig.tight_layout()
         fig.savefig(os.path.join(save_folder, "latent_pca.png"), dpi=110)
         plt.close(fig)
-    except Exception:
-        pass
+    except Exception as e:
+        log.warning(f"latent-analysis plots skipped: {e!r}")
 
     log.info(f"latent stats: {stats}")
     return stats

@@ -86,14 +86,21 @@ def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
     t0 = sampler.tokenizer(s0)
     t1 = sampler.tokenizer(s1)
     L = max(len(t0), len(t1))
-    pad = sampler.src_vocab
     # encode together with shared padding
     _, mu, logvar = sampler.encode_smiles([s0, s1])
     mu0, mu1 = mu[0], mu[1]
     lv0, lv1 = logvar[0], logvar[1]
+    rng = sampler.rng
+    if len(t0) != len(t1):
+        # length-mismatched pair: token-wise Gaussian refit of each
+        # latent to the common length (reference interpolate_z_pair,
+        # mol_interpolation.py:124-142) instead of trusting pad rows
+        mu0 = approximate_z(mu0[: len(t0)], L, rng)
+        mu1 = approximate_z(mu1[: len(t1)], L, rng)
+        lv0 = approximate_z(lv0[: len(t0)], L, rng)
+        lv1 = approximate_z(lv1[: len(t1)], L, rng)
 
     out: List[Optional[str]] = []
-    rng = sampler.rng
     for alpha in np.linspace(0.0, 1.0, n_interp + 2):
         mu_a = interp_fn(mu0, mu1, float(alpha))
         lv_a = interp_fn(lv0, lv1, float(alpha))

@@ -25,7 +25,20 @@ from gctplus_tpu.tasks.common import build_sampler
 from gctplus_tpu.utils import get_logger
 
 
-def p_sampling(args, train=None, log=None) -> pd.DataFrame:
+def get_n_train_near_prop(combos, props, tolerances, train_props):
+    """Per target combo: number of train molecules with all properties
+    within tolerance (reference Inference/p_sampling.py:36-45)."""
+    out = []
+    for combo in combos:
+        mask = np.ones(len(train_props), bool)
+        for j, p in enumerate(props):
+            col = train_props[p].to_numpy(float)
+            mask &= np.abs(col - combo[j]) <= tolerances.get(p, np.inf)
+        out.append(int(mask.sum()))
+    return out
+
+
+def p_sampling(args, train=None, train_props=None, log=None) -> pd.DataFrame:
     save_folder = os.path.join(args.save_folder, "p_sampling")
     os.makedirs(save_folder, exist_ok=True)
     log = log or get_logger("p_sampling",
@@ -33,9 +46,15 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
     props = list(args.property_list) or ["logP", "tPSA", "QED"]
     sampler = build_sampler(args, log)
 
+    combos = target_prop_combinations()
+    n_train_near = None
+    if train_props is not None and all(p in train_props for p in props):
+        n_train_near = get_n_train_near_prop(
+            combos, props, PROP_TOLERANCES, train_props)
+
     rows = []
     cond_values = {p: {} for p in props}  # prop -> target -> gen values
-    for combo in target_prop_combinations():
+    for ci, combo in enumerate(combos):
         tag = "_".join(f"{v:g}" for v in combo)
         gen_path = os.path.join(save_folder, f"gen_{tag}.csv")
         if os.path.exists(gen_path):
@@ -79,6 +98,8 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
                     p, np.inf)
             row["valid_in_tolerance"] = float(in_tol.mean()) * valid
             row["unique_in_tolerance"] = row["valid_in_tolerance"] * row["unique"]
+        if n_train_near is not None:
+            row["n_train"] = n_train_near[ci]
         rows.append(row)
 
     out = pd.DataFrame(rows)
@@ -90,7 +111,7 @@ def p_sampling(args, train=None, log=None) -> pd.DataFrame:
             plot_conditional_property(
                 {t: np.asarray(v) for t, v in cond_values[p].items()},
                 p, save_folder)
-    except Exception:
-        pass
+    except Exception as e:
+        log.warning(f"conditional-property plots skipped: {e!r}")
     log.info(f"mean valid: {out['valid'].mean():.4f}")
     return out

@@ -124,9 +124,28 @@ def test_kldiv_score():
 def test_p_sampling_task(tiny_setup):
     root, out, runs = tiny_setup
     from gctplus_tpu.tasks.p_sampling import p_sampling
-    df = p_sampling(_args(root, runs, "pvaetf", n_samples=2))
+    train_props = out["frames"]["train"]
+    df = p_sampling(_args(root, runs, "pvaetf", n_samples=2),
+                    train_props=train_props)
     assert len(df) == 27  # the full target grid (config_default.py:7-12)
-    assert {"valid", "logP_MAE", "valid_in_tolerance"} <= set(df.columns)
+    assert {"valid", "logP_MAE", "valid_in_tolerance",
+            "n_train"} <= set(df.columns)
+    assert (df["n_train"] >= 0).all()
+
+
+def test_n_train_near_prop_counts():
+    """Reference Inference/p_sampling.py:36-45 semantics: all
+    properties within tolerance simultaneously."""
+    from gctplus_tpu.tasks.p_sampling import get_n_train_near_prop
+    train = pd.DataFrame({
+        "logP": [1.0, 2.0, 3.0], "tPSA": [40.0, 60.0, 80.0],
+        "QED": [0.6, 0.7, 0.8]})
+    tol = {"logP": 0.5, "tPSA": 10.0, "QED": 0.1}
+    combos = [(1.0, 40.0, 0.6),    # matches row 0 only
+              (2.2, 55.0, 0.75),   # matches row 1 only
+              (9.0, 40.0, 0.6)]    # logP excludes all
+    assert get_n_train_near_prop(
+        combos, ["logP", "tPSA", "QED"], tol, train) == [1, 1, 0]
 
 
 def test_psca_sampling_task(tiny_setup):
