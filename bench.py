@@ -5,22 +5,35 @@ Headline metric: sampled SMILES/sec/chip with the flagship-size model
 scale), batch 512 (inference.py:51), max_strlen 80
 (config_default.py:1), multinomial decoding.
 
-vs_baseline: speedup over the reference's decode algorithm executed on
+vs_baseline: speedup over the reference's decode algorithm EXECUTED on
 the SAME chip — a faithful re-creation of Inference/sampling_tool.py:
 140-184 (full decoder re-run over the whole prefix each step, per-step
-host sync for the eos break), bucketed to multiples of 16 tokens to
-keep its compile count sane (a concession that makes the BASELINE
-faster, so the reported speedup is conservative).
+host sync for the eos break/append), run for the full 79-step
+schedule. Prefix shapes are bucketed to {16,48,80} so the loop
+compiles 3 programs instead of 79 (causal masking makes the bucketed
+logits identical; the extra padded columns only ADD baseline compute,
+so a fitted per-length cross-check — quadratic cost model through the
+3 measured bucket costs, integrated over the exact 1..79 schedule —
+is also computed and the SMALLER total is used: conservative for us).
 
-Prints ONE JSON line.
+Secondary keys: train-step tokens/s and MFU at the same flagship
+shape (per-batch metric history on device, pre-split RNG — the
+production hot loop from train/loop.py).
+
+Prints ONE JSON line on stdout (diagnostics on stderr).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -70,52 +83,112 @@ def main():
         return np.asarray(out)
 
     run_ours(999)  # compile
+    _log("bench: ours compiled")
     n_iter = 4
     t0 = time.perf_counter()
     for i in range(n_iter):
         out = run_ours(i)
     ours_sps = BS * n_iter / (time.perf_counter() - t0)
+    _log(f"bench: ours = {ours_sps:.0f} SMILES/s")
 
-    # ---- baseline: reference algorithm on the same chip -------------
+    # ---- baseline: reference algorithm RUN on the same chip ----------
     decode_full = jax.jit(lambda p, ys, z, sm, tm: model.apply(
         {"params": p}, ys, z, sm, tm, None, deterministic=True,
         method=Vaetf.decode))
 
-    # The reference loop re-runs the full decoder over the whole prefix
-    # at every step (sampling_tool.py:144-157). Running all 79 steps
-    # through this environment's remote tunnel takes many minutes, so
-    # the baseline cost is measured per-step at representative prefix
-    # lengths (bucketed to 16, which FAVORS the baseline) and summed
-    # over the 79-step schedule. Each measured step is synced by host
-    # materialization, like the reference's per-step eos check.
-    def one_ref_step(L, i):
-        Lb = ((L + 15) // 16) * 16
+    BUCKETS = (16, 48, 80)
+
+    def bucket_of(L):
+        for b in BUCKETS:
+            if L <= b:
+                return b
+        return BUCKETS[-1]
+
+    def one_ref_step(ys_np, L, i):
+        """One step of sampling_tool.py:144-157: full decoder re-run
+        over the whole prefix, host-synced multinomial append."""
+        Lb = bucket_of(L)
         ys_pad = np.full((BS, Lb), 1, np.int32)
-        ys_pad[:, :L] = np.random.default_rng(i).integers(4, 40, (BS, L))
-        ys_pad[:, 0] = 2
+        ys_pad[:, :L] = ys_np[:, :L]
         tm = get_trg_mask(jnp.asarray(ys_pad), 1, False)
         logits = decode_full(params, jnp.asarray(ys_pad), z, src_mask, tm)
-        probs = jax.nn.softmax(logits[:, L - 1, :])
+        probs = jax.nn.softmax(logits[:, L - 1, :].astype(jnp.float32))
         nxt = np.asarray(jax.random.categorical(
             jax.random.fold_in(key, 1000 + i), jnp.log(probs)))
         return nxt
 
-    probe_lengths = [24, 56, 79]  # 3 bucket compiles keep cache-cold
-    # bench runs inside scheduler timeouts; nearest-length integration
-    # below still covers the 79-step schedule
-    for L in probe_lengths:  # compile each bucket
-        one_ref_step(L, 0)
-    per_len_cost = {}
-    for j, L in enumerate(probe_lengths):
-        t0 = time.perf_counter()
-        one_ref_step(L, 10 + j)
-        per_len_cost[L] = time.perf_counter() - t0
-    # integrate over the 79-step schedule by nearest probe length
-    total = 0.0
+    ys_np = np.full((BS, MAX_STRLEN), 1, np.int32)
+    ys_np[:, 0] = 2  # <sos>
+    for b in BUCKETS:  # compile each bucket shape off the clock
+        one_ref_step(ys_np, b - 1, 0)
+    _log("bench: baseline compiled (3 bucket shapes)")
+
+    # the real 79-step loop, wall-clocked end to end
+    step_cost = {b: [] for b in BUCKETS}
+    t0 = time.perf_counter()
     for L in range(1, MAX_STRLEN):
-        nearest = min(probe_lengths, key=lambda p: abs(p - L))
-        total += per_len_cost[nearest]
+        ts = time.perf_counter()
+        nxt = one_ref_step(ys_np, L, L)
+        ys_np[:, L] = nxt
+        step_cost[bucket_of(L)].append(time.perf_counter() - ts)
+    real_total = time.perf_counter() - t0
+
+    # cross-check: quadratic per-length cost model through the median
+    # bucket costs, integrated over the exact schedule (removes the
+    # round-up padding the buckets charge the baseline)
+    xs = np.array(BUCKETS, np.float64)
+    ys_med = np.array([np.median(step_cost[b]) for b in BUCKETS])
+    coef = np.polyfit(xs, ys_med, 2)
+    fitted_total = float(sum(np.polyval(coef, L)
+                             for L in range(1, MAX_STRLEN)))
+    total = min(real_total, fitted_total)  # conservative for us
     ref_sps = BS / total
+    _log(f"bench: baseline real={real_total:.1f}s fitted={fitted_total:.1f}s"
+         f" -> {ref_sps:.1f} SMILES/s")
+
+    # ---- train-step throughput + MFU (same flagship shape) ----------
+    from gctplus_tpu.train.schedule import make_optimizer
+    from gctplus_tpu.train.trainer import (HISTORY_KEYS, TrainState,
+                                           make_history_train_step)
+
+    tcfg = ModelConfig(src_vocab=40, trg_vocab=44, N=6, d_model=512,
+                       d_ff=2048, heads=8, latent_dim=128, dropout=0.1,
+                       nconds=0, dtype=jnp.bfloat16)
+    tmodel = Vaetf(tcfg)
+    tparams = init_params(tmodel, tcfg)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(tparams))
+    tx, sched = make_optimizer(512, 4000)
+    state = TrainState.create(tparams, tx)
+    tstep = make_history_train_step(tmodel, 1, False, sched)
+
+    T_TRG = MAX_STRLEN + 2
+    n_steps = 6
+    subs = np.asarray(jax.random.split(key, n_steps + 1))
+    hist = {k: jnp.zeros(n_steps + 1, jnp.float32) for k in HISTORY_KEYS}
+
+    def tbatch(i):
+        r = np.random.default_rng(i)
+        return {"src": jnp.asarray(r.integers(4, 40, (BS, MAX_STRLEN)),
+                                   jnp.int32),
+                "trg": jnp.asarray(r.integers(4, 44, (BS, T_TRG)),
+                                   jnp.int32)}
+
+    state, hist = tstep(state, hist, np.int32(0), tbatch(0), 0.02, subs[0])
+    np.asarray(hist["LOSS"][0])  # compile + sync
+    _log("bench: train step compiled")
+    t0 = time.perf_counter()
+    for i in range(1, n_steps + 1):
+        state, hist = tstep(state, hist, np.int32(i), tbatch(i), 0.02,
+                            subs[i])
+    np.asarray(hist["LOSS"])
+    dt = (time.perf_counter() - t0) / n_steps
+    train_tps = BS * T_TRG / dt
+
+    # MFU: 6*P*T matmul-FLOP estimate over the peak of this chip
+    kind = jax.devices()[0].device_kind.lower()
+    peak = 197e12 if "v5 lite" in kind else \
+        275e12 if "v4" in kind else 918e12 if "v6" in kind else 197e12
+    mfu = 6.0 * n_params * train_tps / peak
 
     speedup = ours_sps / ref_sps
     print(json.dumps({
@@ -123,6 +196,13 @@ def main():
         "value": round(ours_sps, 1),
         "unit": "SMILES/s",
         "vs_baseline": round(speedup, 2),
+        "baseline_smiles_per_sec": round(ref_sps, 1),
+        "baseline_method": "reference loop executed on-chip "
+                           "(79 steps, 3 bucket shapes, min(real, fitted))",
+        "train_tokens_per_sec": round(train_tps, 0),
+        "train_step_ms": round(dt * 1e3, 1),
+        "train_mfu_pct": round(100 * mfu, 1),
+        "device": jax.devices()[0].device_kind,
     }))
 
 

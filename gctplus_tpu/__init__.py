@@ -25,9 +25,15 @@ if not _os.environ.get("GCTPLUS_NO_COMPILE_CACHE"):
 
         _platforms = (_os.environ.get("JAX_PLATFORMS") or "").lower()
         if _platforms not in ("cpu", "", None):
+            # default cache lives inside the repo (gitignored): /tmp is
+            # wiped between sessions on this machine, and TPU-program
+            # binaries keyed to the same chip stay valid across them
+            _default_cache = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "_cache", "jax")
             _jax.config.update("jax_compilation_cache_dir",
                                _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                               "/tmp/gctplus_jax_cache"))
+                                               _default_cache))
             _jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

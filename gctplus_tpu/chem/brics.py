@@ -115,6 +115,25 @@ def find_brics_bonds(mol: Mol) -> List[int]:
             if (x in rings and y not in rings and ay.symbol == "C"
                     and not ay.aromatic and len(mol.neighbors(y)) >= 2):
                 return True
+            # thioether: acyclic divalent S to C (BRICS L11)
+            if (ax.symbol == "S" and x not in rings
+                    and not _is_sulfonyl_s(mol, x)
+                    and len(mol.neighbors(x)) == 2 and ay.symbol == "C"):
+                return True
+            # dialkyl ether / amine: acyclic O/N of degree >= 2 to
+            # non-aromatic C (BRICS L3/L5; terminal OH/NH2 never cleave)
+            if (ax.symbol in ("N", "O") and x not in rings
+                    and len(mol.neighbors(x)) >= 2 and ay.symbol == "C"
+                    and not ay.aromatic and not _is_carbonyl_c(mol, y)):
+                return True
+            # allylic/vinylic attachment: acyclic sp2 C of a C=C to C
+            # (BRICS L7)
+            if (ax.symbol == "C" and not ax.aromatic and x not in rings
+                    and ay.symbol == "C"
+                    and any(b2.order == 2.0
+                            and mol.atoms[b2.other(x)].symbol == "C"
+                            for b2 in mol.bonds_of(x))):
+                return True
             return False
 
         if not (_match(i, j) or _match(j, i)):

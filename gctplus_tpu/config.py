@@ -71,10 +71,19 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-KLA_inc_beta", type=float, default=0.02)
     parser.add_argument("-KLA_max_beta", type=float, default=1.0)
     parser.add_argument("-KLA_beg_epoch", type=int, default=1)
-    parser.add_argument("-KLA_free_bits", type=float, default=0.0,
+    # DEFAULT-ON posterior-collapse guard (recommended recipe): a
+    # 0.05-nat per-coordinate KL floor raises encoder latent signal
+    # ~53x at no generation-quality cost on the flagship ablation
+    # (EVIDENCE.md "Free-bits fix"). The reference objective
+    # (trainer1.py:19-30) has no floor — use
+    # -exact_reference_objective for bit-parity training runs.
+    parser.add_argument("-KLA_free_bits", type=float, default=0.05,
                         help="per-latent-coordinate KL floor in nats "
                              "(posterior-collapse guard; 0 = reference "
                              "objective)")
+    parser.add_argument("-exact_reference_objective", action="store_true",
+                        help="force the exact reference ELBO "
+                             "(KLA_free_bits=0)")
     # LR schedule
     parser.add_argument("-lr_scheduler", type=str, default="WarmUpDefault")
     parser.add_argument("-lr_WarmUpSteps", type=int, default=8000)
@@ -86,6 +95,14 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-n_data_shards", type=int, default=None,
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("-n_model_shards", type=int, default=1)
+    # multi-host rendezvous (the MASTER_ADDR/PORT + init_process_group
+    # analog, train1.py:34-38,160-161); omit all three on single host.
+    # On TPU pods with launch metadata, just -coordinator_address and
+    # jax autodetects num_processes/process_id.
+    parser.add_argument("-coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (multi-host only)")
+    parser.add_argument("-num_processes", type=int, default=None)
+    parser.add_argument("-process_id", type=int, default=None)
     parser.add_argument("-compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("-fixed_seqlen", type=int, default=80,

@@ -146,6 +146,12 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.world_size > 1:
+            # equal-length rank shards: ranks run in SPMD lockstep, so
+            # a rank with one extra batch would hang in the gradient
+            # all-reduce (DistributedSampler pads for the same reason)
+            n_even = (len(idx) // self.world_size) * self.world_size
+            idx = idx[:n_even]
         return idx[self.rank:: self.world_size]
 
     def _token_lengths(self) -> np.ndarray:

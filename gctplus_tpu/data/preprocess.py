@@ -77,7 +77,7 @@ def preprocess(save_folder: str,
                property_list: Sequence[str] = ("logP", "tPSA", "QED", "SAS"),
                scaled_properties: Sequence[str] = ("logP", "tPSA", "QED"),
                n_jobs: int = 1, n_synthetic: int = 2000, seed: int = 0,
-               log=None) -> Dict:
+               score_table_max: Optional[int] = None, log=None) -> Dict:
     raw = os.path.join(save_folder, "raw")
     util = os.path.join(save_folder, "utils")
     prepared = os.path.join(save_folder, "prepared")
@@ -120,19 +120,23 @@ def preprocess(save_folder: str,
         os.path.join(util, "toklen_list.csv"), index=False)
 
     # corpus-derived SA fragment table (chem/sa_fragments.py): the
-    # offline analog of moses' PubChem fpscores artifact
+    # offline analog of moses' PubChem fpscores artifact. At MOSES
+    # scale a fixed-seed subsample (score_table_max) is statistically
+    # equivalent and keeps the single-core preprocess bounded.
+    table_smiles = frames["train"]["smiles"]
+    if score_table_max is not None and len(table_smiles) > score_table_max:
+        table_smiles = table_smiles.sample(
+            n=score_table_max, random_state=seed)
     from gctplus_tpu.chem.sa_fragments import (
         build_fragment_scores, save_fragment_scores)
-    sa_scores = build_fragment_scores(frames["train"]["smiles"],
-                                      n_jobs=n_jobs)
+    sa_scores = build_fragment_scores(table_smiles, n_jobs=n_jobs)
     save_fragment_scores(sa_scores, os.path.join(util, "sa_fragments.json"))
 
     # corpus-derived NP contribution table (chem/np_score.py) — the
     # offline analog of moses' NP_Score artifact (single-corpus mode)
     from gctplus_tpu.chem.np_score import (
         build_np_contributions, save_np_contributions)
-    np_table = build_np_contributions(frames["train"]["smiles"],
-                                      n_jobs=n_jobs)
+    np_table = build_np_contributions(table_smiles, n_jobs=n_jobs)
     save_np_contributions(np_table, os.path.join(util,
                                                  "np_contributions.json"))
 

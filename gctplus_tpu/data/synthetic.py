@@ -19,6 +19,12 @@ RINGS = [
     "c1ccccc1", "c1ccncc1", "c1ccoc1", "c1ccsc1", "c1cc[nH]c1",
     "c1ccc2ccccc2c1", "C1CCCCC1", "C1CCNCC1", "C1CCOCC1", "C1CCCC1",
     "c1cnccn1", "c1ccc2[nH]ccc2c1", "C1CCNC1", "c1cscn1", "c1cocn1",
+    # extended set (round 2): more azoles/azines + saturated systems so
+    # the unique-molecule space supports MOSES-scale (>=600k) corpora
+    "c1cncnc1", "c1ccnnc1", "c1c[nH]cn1", "c1cc[nH]n1",
+    "C1COCCN1", "C1CNCCN1", "C1CC1", "C1CCC1", "C1CCOC1", "C1CCSC1",
+    "C1CCCCCC1", "c1ccc2ncccc2c1", "c1ccc2cnccc2c1",
+    "c1ccc2[nH]cnc2c1", "c1ccc2occc2c1", "c1ccc2sccc2c1",
 ]
 
 # attachment-ready substituents (appended in branch parentheses)
@@ -26,9 +32,15 @@ SUBS = [
     "C", "CC", "CCC", "C(C)C", "O", "OC", "N", "NC", "F", "Cl", "Br",
     "C(=O)O", "C(=O)N", "C(=O)OC", "C#N", "C(F)(F)F", "OCC", "NCC",
     "S(=O)(=O)N", "C(=O)C", "N(C)C", "OC(C)C", "CO", "CN",
+    # extended set (round 2)
+    "C(C)(C)C", "CCCC", "S(=O)(=O)C", "NC(=O)C", "OC(=O)C", "C=C",
+    "N(CC)CC", "NS(=O)(=O)C", "OCCO", "OCCN", "CF", "SC", "C(=O)NC",
 ]
 
-LINKERS = ["", "C", "CC", "O", "N", "C(=O)", "CN", "CO", "C(=O)N"]
+LINKERS = ["", "C", "CC", "O", "N", "C(=O)", "CN", "CO", "C(=O)N",
+           # extended set (round 2)
+           "CCC", "CCO", "CCN", "S", "S(=O)(=O)", "C(=O)O", "NC(=O)",
+           "C=C", "OC", "N(C)"]
 
 
 def _ring_with_subs(rng: random.Random) -> str:

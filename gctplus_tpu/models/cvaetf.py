@@ -37,6 +37,7 @@ from gctplus_tpu.models.layers import (
     EncoderLayer,
     Norm,
     PositionalEncoding,
+    matmul_precision,
 )
 
 Dtype = Any
@@ -58,6 +59,9 @@ class ModelConfig:
     variational: bool = True
     max_seq_len: int = 200
     dtype: Any = jnp.float32
+    # fused Pallas attention on deterministic multi-token paths
+    # (ops/flash_attention.py); XLA fallback elsewhere
+    use_pallas_attention: bool = False
 
     @property
     def d_k(self) -> int:
@@ -75,20 +79,21 @@ class Encoder(nn.Module):
         self.embed_sentence = Embeddings(c.src_vocab, c.d_model, c.dtype)
         if c.nconds > 0:
             self.embed_cond2enc = nn.Dense(
-                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
                 kernel_init=nn.initializers.glorot_uniform())
         self.pe = PositionalEncoding(c.d_model, c.max_seq_len, c.dropout, c.dtype)
         self.layers = [
-            EncoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype)
+            EncoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype,
+                         use_pallas=c.use_pallas_attention)
             for _ in range(c.N)
         ]
         self.norm = Norm(c.d_model, dtype=c.dtype)
         if self.with_latent_heads:
             self.fc_mu = nn.Dense(
-                c.latent_dim, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                c.latent_dim, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
                 kernel_init=nn.initializers.glorot_uniform())
             self.fc_log_var = nn.Dense(
-                c.latent_dim, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                c.latent_dim, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
                 kernel_init=nn.initializers.glorot_uniform())
 
     def __call__(self, src, src_mask, econds=None, deterministic: bool = True,
@@ -126,10 +131,12 @@ class Sampler(nn.Module):
 
     def setup(self):
         self.fc_mu = nn.Dense(
-            self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            precision=matmul_precision(self.dtype),
             kernel_init=nn.initializers.glorot_uniform())
         self.fc_log_var = nn.Dense(
-            self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            precision=matmul_precision(self.dtype),
             kernel_init=nn.initializers.glorot_uniform())
 
     def __call__(self, x):
@@ -155,18 +162,19 @@ class Decoder(nn.Module):
         self.embed = Embeddings(c.trg_vocab, c.d_model, c.dtype)
         if c.use_cond2dec and c.nconds > 0:
             self.embed_cond2dec = nn.Dense(
-                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
                 kernel_init=nn.initializers.glorot_uniform())
         if c.use_cond2lat and c.nconds > 0:
             self.embed_cond2lat = nn.Dense(
-                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                c.d_model * c.nconds, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
                 kernel_init=nn.initializers.glorot_uniform())
         self.pe = PositionalEncoding(c.d_model, c.max_seq_len, c.dropout, c.dtype)
         self.fc_z = nn.Dense(
-            c.d_model, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            c.d_model, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
             kernel_init=nn.initializers.glorot_uniform())
         self.layers = [
-            DecoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype)
+            DecoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype,
+                         use_pallas=c.use_pallas_attention)
             for _ in range(c.N)
         ]
         self.norm = Norm(c.d_model, dtype=c.dtype)
@@ -294,6 +302,132 @@ class Decoder(nn.Module):
         x = self.norm(x)
         return x, tuple(new_kvs)
 
+    # ------------------------------------------------------------------
+    # Fused packed-cache decode path (ops/decode_attention.py).
+    #
+    # KV caches live PACKED as (bs, T, d_model) — lane-exact bf16
+    # tiles, vs the (bs, h, T, dk=64) layout whose minor dim pads to
+    # 128 lanes and doubles HBM traffic (see the kernel module
+    # docstring for the measured breakdown).
+    # ------------------------------------------------------------------
+    def prepare_memory_packed(self, z, src_mask, dconds=None):
+        """(mem_kvs packed per layer, lengths (bs,) int32).
+
+        The cross mask is always a contiguous prefix here: an optional
+        all-valid cond2lat block then positions < toklen
+        (sampling_tool.py:93-97,257), so a per-row length carries it.
+        """
+        mem, src_mask = self._memory_and_mask(z, src_mask, dconds)
+        kvs = tuple((layer.attn_2.k_linear(mem), layer.attn_2.v_linear(mem))
+                    for layer in self.layers)
+        lengths = jnp.sum(src_mask[:, 0, :].astype(jnp.int32), axis=-1)
+        return kvs, lengths
+
+    def prefill_packed(self, prefix, prefix_len_mask, mem_kvs, mem_lengths,
+                       cache_len: int, deterministic: bool = True):
+        """Like prefill() but emits packed T-MAJOR (T, bs, d_model)
+        caches (the fused kernel's layout: the per-step row write and
+        block column reads stay tile-aligned) and consumes packed
+        memory K/V + per-row lengths."""
+        c = self.cfg
+        bs, P = prefix.shape
+        x = self.embed(prefix)
+        x = self.pe(x, deterministic=deterministic)
+        causal = jnp.tril(jnp.ones((P, P), dtype=bool))[None]
+        self_mask = causal & prefix_len_mask[:, None, :]
+        Lm = mem_kvs[0][0].shape[1]
+        src_mask = (jnp.arange(Lm)[None, None, :]
+                    < mem_lengths[:, None, None])
+        self_kvs = []
+        for i, layer in enumerate(self.layers):
+            h = layer.norm_1(x)
+            k = layer.attn_1.k_linear(h)                 # (bs, P, D)
+            v = layer.attn_1.v_linear(h)
+            kc = jnp.zeros((cache_len, bs, c.d_model), c.dtype)
+            vc = jnp.zeros_like(kc)
+            kc = jax.lax.dynamic_update_slice(
+                kc, jnp.transpose(k, (1, 0, 2)), (0, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, jnp.transpose(v, (1, 0, 2)), (0, 0, 0))
+            self_kvs.append((kc, vc))
+            x = self._prefill_layer_packed(
+                layer, x, h, k, v, self_mask, mem_kvs[i][0], mem_kvs[i][1],
+                src_mask, deterministic)
+        x = self.norm(x)
+        return x, tuple(self_kvs)
+
+    @staticmethod
+    def _prefill_layer_packed(layer, x, h, k, v, self_mask, mem_k, mem_v,
+                              src_mask, deterministic):
+        """Prefill attention over the (short) prefix using the packed
+        projections; head split is a local reshape."""
+        from gctplus_tpu.models.layers import scaled_dot_attention
+
+        a = layer.attn_1
+        qh = a._split(a.q_linear(h))
+        ctx, _ = scaled_dot_attention(qh, a._split(k), a._split(v),
+                                      self_mask, a.attn_drop, deterministic,
+                                      a.dtype)
+        x = x + layer.drop_1(a.out(a._merge(ctx)), deterministic=deterministic)
+        h2 = layer.norm_2(x)
+        a2 = layer.attn_2
+        qh2 = a2._split(a2.q_linear(h2))
+        ctx2, _ = scaled_dot_attention(qh2, a2._split(mem_k), a2._split(mem_v),
+                                       src_mask, a2.attn_drop, deterministic,
+                                       a2.dtype)
+        x = x + layer.drop_2(a2.out(a2._merge(ctx2)),
+                             deterministic=deterministic)
+        h3 = layer.norm_3(x)
+        x = x + layer.drop_3(layer.ff(h3, deterministic),
+                             deterministic=deterministic)
+        return x
+
+    def step_packed(self, token, pos, self_kvs, mem_kvs, mem_lengths,
+                    deterministic: bool = True, interpret: bool = False):
+        """Fused-kernel decode step on packed caches.
+
+        token: (bs,) ids at `pos`; self_kvs per-layer packed
+        (bs, T, D) pairs (donated/aliased through the kernel);
+        mem_lengths: (bs,) int32. Returns (x (bs,1,D), new self_kvs).
+        """
+        from gctplus_tpu.ops.decode_attention import (cross_attention_step,
+                                                      self_attention_step)
+        c = self.cfg
+        bs = token.shape[0]
+        block_b = 32 if bs % 32 == 0 else max(
+            b for b in (16, 8, 4, 2, 1) if bs % b == 0)
+        x = self.embed(token[:, None])
+        x = self.pe.at_position(x, pos)
+        new_kvs = []
+        for i, layer in enumerate(self.layers):
+            h = layer.norm_1(x)
+            a1 = layer.attn_1
+            q1 = a1.q_linear(h)
+            k1 = a1.k_linear(h)
+            v1 = a1.v_linear(h)
+            # T-major row update: a contiguous (bs, D) slab, cheap and
+            # alias-friendly inside the sampling while_loop
+            kc = jax.lax.dynamic_update_slice(
+                self_kvs[i][0], jnp.transpose(k1, (1, 0, 2)), (pos, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                self_kvs[i][1], jnp.transpose(v1, (1, 0, 2)), (pos, 0, 0))
+            ctx = self_attention_step(
+                pos, q1, kc, vc, heads=c.heads, block_b=block_b,
+                interpret=interpret)
+            new_kvs.append((kc, vc))
+            x = x + layer.drop_1(a1.out(ctx), deterministic=deterministic)
+            h2 = layer.norm_2(x)
+            a2 = layer.attn_2
+            ctx2 = cross_attention_step(
+                a2.q_linear(h2), mem_kvs[i][0], mem_kvs[i][1], mem_lengths,
+                heads=c.heads, block_b=block_b, interpret=interpret)
+            x = x + layer.drop_2(a2.out(ctx2), deterministic=deterministic)
+            h3 = layer.norm_3(x)
+            x = x + layer.drop_3(layer.ff(h3, deterministic),
+                                 deterministic=deterministic)
+        x = self.norm(x)
+        return x, tuple(new_kvs)
+
 
 class _BaseVAE(nn.Module):
     """Shared forward/encode/decode plumbing."""
@@ -371,6 +505,26 @@ class _BaseVAE(nn.Module):
             token, pos, self_kvs, mem_kvs, src_mask, deterministic)
         return self.out(x)[:, 0, :], self_kvs
 
+    # --- fused packed-cache variants (ops/decode_attention.py) ---------
+    def prepare_memory_packed(self, z, src_mask, dconds=None):
+        return self.decoder.prepare_memory_packed(z, src_mask, dconds)
+
+    def decode_prefill_packed(self, prefix, prefix_len_mask, mem_kvs,
+                              mem_lengths, cache_len: int,
+                              deterministic: bool = True):
+        x, self_kvs = self.decoder.prefill_packed(
+            prefix, prefix_len_mask, mem_kvs, mem_lengths, cache_len,
+            deterministic)
+        return self.out(x), self_kvs
+
+    def decode_step_packed(self, token, pos, self_kvs, mem_kvs,
+                           mem_lengths, deterministic: bool = True,
+                           interpret: bool = False):
+        x, self_kvs = self.decoder.step_packed(
+            token, pos, self_kvs, mem_kvs, mem_lengths, deterministic,
+            interpret)
+        return self.out(x)[:, 0, :], self_kvs
+
 
 class Vaetf(_BaseVAE):
     """Unconditioned VAE; latent heads in a top-level sampler module."""
@@ -384,7 +538,7 @@ class Vaetf(_BaseVAE):
         self.decoder = Decoder(c)
         self.sampler = Sampler(c.d_model, c.latent_dim, c.dtype)
         self.out = nn.Dense(
-            c.trg_vocab, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            c.trg_vocab, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
             kernel_init=nn.initializers.glorot_uniform())
 
     def _latent_heads(self, enc_out):
@@ -402,10 +556,10 @@ class Cvaetf(_BaseVAE):
         self.decoder = Decoder(c)
         if c.use_cond2dec and c.nconds > 0:
             self.prop_fc = nn.Dense(
-                1, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                1, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
                 kernel_init=nn.initializers.glorot_uniform())
         self.out = nn.Dense(
-            c.trg_vocab, dtype=c.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            c.trg_vocab, dtype=c.dtype, param_dtype=jnp.float32, precision=matmul_precision(c.dtype),
             kernel_init=nn.initializers.glorot_uniform())
 
     def _latent_heads(self, enc_out):

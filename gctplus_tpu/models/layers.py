@@ -33,6 +33,18 @@ Dtype = Any
 MASK_FILL = -1e9
 
 
+def matmul_precision(dtype):
+    """HIGHEST for float32 (bit-parity with the torch reference, whose
+    f32 matmuls are exact), DEFAULT for bfloat16: on TPU,
+    Precision.HIGHEST on bf16 inputs forces a multi-pass f32-emulation
+    matmul — measured ~2.5x the memory-floor cost per decode step
+    (scripts/probe_decode_cost.py). bf16 inputs with f32 accumulation
+    (preferred_element_type) are already the intended fast path."""
+    return (jax.lax.Precision.HIGHEST
+            if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
+
 def make_pe_table(d_model: int, max_seq_len: int = 200) -> np.ndarray:
     """Sinusoid table with the reference's index quirk (modules.py:124-130)."""
     pos = np.arange(max_seq_len, dtype=np.float64)[:, None]
@@ -116,7 +128,7 @@ def scaled_dot_attention(q, k, v, mask, dropout_mod, deterministic, dtype):
     """
     d_k = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=matmul_precision(q.dtype))
     scores = scores / math.sqrt(d_k)
     if mask is not None:
         # mask: (bs, 1|Lq, Lk) -> broadcast over heads (sublayers.py:32)
@@ -126,8 +138,22 @@ def scaled_dot_attention(q, k, v, mask, dropout_mod, deterministic, dtype):
     if dropout_mod is not None:
         attn = dropout_mod(attn, deterministic=deterministic)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=matmul_precision(v.dtype))
     return out.astype(dtype), weights
+
+
+def _pallas_attention_applicable(mask, deterministic, dropout,
+                                 return_attn, q_len) -> bool:
+    """The fused Pallas kernel handles the deterministic no-weights
+    case on real TPU; everything else falls back to the XLA path
+    (attention-weight dropout and weight returns aren't fused, and a
+    1-token query is a matvec the kernel's grid would waste)."""
+    if return_attn or mask is None or q_len <= 1:
+        return False
+    if not deterministic and dropout > 0:
+        return False
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu", "gpu")
 
 
 class MultiHeadAttention(nn.Module):
@@ -137,10 +163,11 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         dense = lambda name: nn.Dense(
-            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, precision=matmul_precision(self.dtype),
             kernel_init=nn.initializers.glorot_uniform(), name=name,
         )
         self.q_linear = dense("q_linear")
@@ -163,6 +190,11 @@ class MultiHeadAttention(nn.Module):
         qh = self._split(self.q_linear(q))
         kh = self._split(self.k_linear(k))
         vh = self._split(self.v_linear(v))
+        if self.use_pallas and _pallas_attention_applicable(
+                mask, deterministic, self.dropout, return_attn, qh.shape[2]):
+            from gctplus_tpu.ops.flash_attention import fused_attention
+            ctx = fused_attention(qh, kh, vh, mask)
+            return self.out(self._merge(ctx))
         ctx, weights = scaled_dot_attention(
             qh, kh, vh, mask, self.attn_drop, deterministic, self.dtype)
         out = self.out(self._merge(ctx))
@@ -178,6 +210,11 @@ class MultiHeadAttention(nn.Module):
     def attend_with_kv(self, q, kh, vh, mask=None, deterministic: bool = True):
         """Query against precomputed K/V heads."""
         qh = self._split(self.q_linear(q))
+        if self.use_pallas and _pallas_attention_applicable(
+                mask, deterministic, self.dropout, False, qh.shape[2]):
+            from gctplus_tpu.ops.flash_attention import fused_attention
+            ctx = fused_attention(qh, kh, vh, mask)
+            return self.out(self._merge(ctx))
         ctx, _ = scaled_dot_attention(
             qh, kh, vh, mask, self.attn_drop, deterministic, self.dtype)
         return self.out(self._merge(ctx))
@@ -193,10 +230,10 @@ class FeedForward(nn.Module):
 
     def setup(self):
         self.linear_1 = nn.Dense(
-            self.d_ff, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            self.d_ff, dtype=self.dtype, param_dtype=jnp.float32, precision=matmul_precision(self.dtype),
             kernel_init=nn.initializers.glorot_uniform(), name="linear_1")
         self.linear_2 = nn.Dense(
-            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            self.d_model, dtype=self.dtype, param_dtype=jnp.float32, precision=matmul_precision(self.dtype),
             kernel_init=nn.initializers.glorot_uniform(), name="linear_2")
         self.drop = nn.Dropout(rate=self.dropout)
 
@@ -215,10 +252,12 @@ class EncoderLayer(nn.Module):
     d_ff: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.norm_1 = Norm(self.d_model, dtype=self.dtype)
-        self.attn = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype)
+        self.attn = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
+                                       use_pallas=self.use_pallas)
         self.norm_2 = Norm(self.d_model, dtype=self.dtype)
         self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)
         self.drop_1 = nn.Dropout(rate=self.dropout)
@@ -250,12 +289,15 @@ class DecoderLayer(nn.Module):
     d_ff: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.norm_1 = Norm(self.d_model, dtype=self.dtype)
-        self.attn_1 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype)
+        self.attn_1 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
+                                         use_pallas=self.use_pallas)
         self.norm_2 = Norm(self.d_model, dtype=self.dtype)
-        self.attn_2 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype)
+        self.attn_2 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
+                                         use_pallas=self.use_pallas)
         self.norm_3 = Norm(self.d_model, dtype=self.dtype)
         self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)
         self.drop_1 = nn.Dropout(rate=self.dropout)

@@ -35,7 +35,8 @@ def _read_prepared(args):
     return train, valid
 
 
-def _make_loader(df, args, src_vocab, trg_vocab, shuffle, n_data=1):
+def _make_loader(df, args, src_vocab, trg_vocab, shuffle, n_data=1,
+                 rank=0, world_size=1):
     props = None
     if args.property_list:
         props = df[[f"src_{p}" for p in args.property_list]].to_numpy()
@@ -49,12 +50,22 @@ def _make_loader(df, args, src_vocab, trg_vocab, shuffle, n_data=1):
     fixed = getattr(args, "fixed_seqlen", 80) or None
     if fixed and args.use_scaffold:
         fixed = min(2 * fixed + 1, 178)  # scaffold + <sep> + smiles
+    n_local = n_data // world_size if world_size > 1 else n_data
     return BatchLoader(ds, args.batch_size, use_scaffold=args.use_scaffold,
                        shuffle=shuffle, seed=args.seed, drop_last=shuffle,
-                       pad_to_multiple=n_data, fixed_len=fixed)
+                       pad_to_multiple=max(n_local, 1), fixed_len=fixed,
+                       rank=rank, world_size=world_size)
 
 
 def train_task(args) -> None:
+    # multi-host bring-up FIRST (before any other jax call initializes
+    # the backend) — the dist.init_process_group analog
+    # (train1.py:34-38); no-op when no coordinator is given
+    from gctplus_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost(getattr(args, "coordinator_address", None),
+                         getattr(args, "num_processes", None),
+                         getattr(args, "process_id", None))
+
     set_seed(args.seed)
     log = get_logger("train", os.path.join(args.model_folder, "record.log")
                      if args.model_folder else None)
@@ -62,14 +73,25 @@ def train_task(args) -> None:
     n_model = args.n_model_shards
     n_data = args.n_data_shards or (len(jax.devices()) // n_model)
 
+    # per-host dataset shard — the DistributedSampler(rank, world_size)
+    # analog (Utils/dataset.py:304-307); batch_size stays per-process
+    # like the reference's per-rank batch, so the global batch is
+    # batch_size * process_count
+    rank, world = jax.process_index(), jax.process_count()
+    if world > 1 and log:
+        log.info(f"multi-host: process {rank}/{world}, "
+                 f"{jax.local_device_count()} local / "
+                 f"{jax.device_count()} global devices")
+
     src_vocab, trg_vocab = load_vocabs(args.util_folder, args.model_type)
     train_df, valid_df = _read_prepared(args)
     train_loader = _make_loader(train_df, args, src_vocab, trg_vocab, True,
-                                n_data)
+                                n_data, rank=rank, world_size=world)
     valid_loader = None
     if not getattr(args, "skip_valid", False):
         valid_loader = _make_loader(valid_df, args, src_vocab, trg_vocab,
-                                    False, n_data)
+                                    False, n_data, rank=rank,
+                                    world_size=world)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     model, cfg = build_model(
@@ -108,8 +130,16 @@ def train_task(args) -> None:
     params = shard_params(params, mesh)
     bsh = NamedSharding(mesh, P("data"))
 
-    def device_put_fn(batch):
-        return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    if world > 1:
+        # each process holds only its dataset shard: assemble the
+        # global batch from per-process local rows (the collective-
+        # free analog of DDP's per-rank batches)
+        def device_put_fn(batch):
+            return {k: jax.make_array_from_process_local_data(bsh, v)
+                    for k, v in batch.items()}
+    else:
+        def device_put_fn(batch):
+            return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
     hyper = {"N": args.N, "d_model": args.d_model, "d_ff": args.d_ff,
              "H": args.H, "latent_dim": args.latent_dim,
@@ -140,7 +170,8 @@ def _run_training(args, model, cfg, params, train_loader, valid_loader,
         log=log, device_put_fn=device_put_fn, hyper=hyper,
         trainable_mask=trainable_mask,
         ckpt_backend=getattr(args, "ckpt_backend", "msgpack"),
-        free_bits=getattr(args, "KLA_free_bits", 0.0))
+        free_bits=(0.0 if getattr(args, "exact_reference_objective", False)
+                   else getattr(args, "KLA_free_bits", 0.0)))
 
 
 def main(argv=None):

@@ -36,7 +36,9 @@ from flax import serialization
 
 from gctplus_tpu.train.loss import kl_annealing_beta
 from gctplus_tpu.train.schedule import make_optimizer
-from gctplus_tpu.train.trainer import TrainState, make_eval_step, make_train_step
+from gctplus_tpu.train.trainer import (HISTORY_KEYS, TrainState,
+                                       make_history_eval_step,
+                                       make_history_train_step)
 
 
 def save_checkpoint(path: str, state: TrainState, hyper: Dict) -> None:
@@ -85,27 +87,39 @@ def decode_check(logits_mol: np.ndarray, trg_vocab, rng=None, n_rows: int = 8):
 
 def run_epoch(step_fn, state: Optional[TrainState], params, loader, beta,
               rng, log, train: bool, eval_fn=None, device_put_fn=None):
-    """Hot loop (trainer1.py:71-156). Returns (state, history)."""
-    # metrics stay on device during the loop (a per-step host fetch
-    # would serialize the pipeline — worst through remote tunnels);
-    # one stacked transfer at epoch end
-    device_hist: Dict[str, list] = {"RCE": [], "KLD": [], "LOSS": [], "LR": []}
+    """Hot loop (trainer1.py:71-156). Returns (state, history).
+
+    Tunnel-aware design (measured in scripts/probe_train_overhead.py):
+    - batch RNG keys are pre-split ONCE per epoch and kept as numpy
+      (an eager jax.random.split costs ~146 ms/op through the axon
+      tunnel — one per batch would dominate the epoch);
+    - the per-batch metric history lives inside the compiled step
+      (make_history_*_step) and is fetched in ONE transfer at epoch
+      end — no per-batch device scalars, no epoch-end jnp.stack over
+      thousands of operands;
+    - batches go host->device exactly once: device_put_fn receives
+      the raw numpy batch (it shards over the mesh / builds the
+      global array on multi-host); plain jnp.asarray otherwise.
+    """
+    n_batches = len(loader)
+    subs = np.asarray(jax.random.split(rng, max(n_batches, 1)))
+    hist = {k: jnp.zeros(max(n_batches, 1), jnp.float32)
+            for k in HISTORY_KEYS}
     t_start = time.time()
-    n_batches = 0
+    seen = 0
     for i, batch in enumerate(loader):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if device_put_fn is not None:
             batch = device_put_fn(batch)
-        rng, sub = jax.random.split(rng)
-        if train:
-            state, aux = step_fn(state, batch, beta, sub)
         else:
-            aux = eval_fn(params, batch, beta, sub)
-        for k in device_hist:
-            device_hist[k].append(aux.get(k, jnp.zeros(())))
-        n_batches += 1
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if train:
+            state, hist = step_fn(state, hist, np.int32(i), batch, beta,
+                                  subs[i])
+        else:
+            hist = eval_fn(params, hist, np.int32(i), batch, beta, subs[i])
+        seen += 1
         if log and (i + 1) % 50 == 0:
-            loss_now = float(aux["LOSS"])
+            loss_now = float(hist["LOSS"][i])
             # failure detection (no reference counterpart, SURVEY.md §5):
             # divergence surfaces immediately instead of poisoning the
             # rest of the epoch
@@ -113,18 +127,18 @@ def run_epoch(step_fn, state: Optional[TrainState], params, loader, beta,
                 raise FloatingPointError(
                     f"non-finite loss at batch {i+1}: {loss_now} "
                     "(check LR warmup / dtype / data)")
-            log.info(f"{i+1}/{len(loader)}\t"
+            log.info(f"{i+1}/{n_batches}\t"
                      f"LOSS: {loss_now:.5f}\t"
                      f"TIME(s): {time.time()-t_start:.1f}")
+    host_hist = {k: np.asarray(v)[:seen] for k, v in hist.items()}
     history: Dict[str, List[float]] = {
-        k: np.asarray(jnp.stack(v)).tolist() if v else []
-        for k, v in device_hist.items()}
-    history["BETA"] = [float(beta)] * n_batches
-    history = {k: history[k] for k in ("RCE", "KLD", "LOSS", "BETA", "LR")}
-    if history["LOSS"] and not np.isfinite(history["LOSS"]).all():
-        bad = int(np.argmax(~np.isfinite(history["LOSS"])))
+        k: host_hist[k].tolist() for k in ("RCE", "KLD", "LOSS")}
+    history["BETA"] = [float(beta)] * seen
+    history["LR"] = host_hist["LR"].tolist()
+    if seen and not np.isfinite(host_hist["LOSS"]).all():
+        bad = int(np.argmax(~np.isfinite(host_hist["LOSS"])))
         raise FloatingPointError(
-            f"non-finite loss first seen at batch {bad+1}/{n_batches}")
+            f"non-finite loss first seen at batch {bad+1}/{seen}")
     return state, history
 
 
@@ -175,9 +189,9 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
             if log:
                 log.info(f"resumed from {ckpt_path}")
 
-    step_fn = make_train_step(model, pad_id, use_cond2dec, sched,
-                              donate=False, free_bits=free_bits)
-    eval_fn = make_eval_step(model, pad_id, use_cond2dec)
+    step_fn = make_history_train_step(model, pad_id, use_cond2dec, sched,
+                                      free_bits=free_bits)
+    eval_fn = make_history_eval_step(model, pad_id, use_cond2dec)
     rng = jax.random.PRNGKey(seed)
 
     beta = 0.0
@@ -192,22 +206,31 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
         state, hist = run_epoch(step_fn, state, None, train_loader, beta,
                                 r1, log, train=True,
                                 device_put_fn=device_put_fn)
-        _write_history_csv(
-            os.path.join(model_folder, f"train_{epoch}.csv"), hist)
+        # multi-host: metrics are already global (computed on the
+        # sharded global batch inside jit), so only process 0 writes —
+        # the analog of the reference's rank-0 CSV merge
+        # (trainer1.py:225-252), minus the filesystem gather
+        is_p0 = jax.process_index() == 0
+        if is_p0:
+            _write_history_csv(
+                os.path.join(model_folder, f"train_{epoch}.csv"), hist)
 
         if valid_loader is not None:
             _, vhist = run_epoch(None, None, state.params, valid_loader,
                                  beta, r2, log, train=False, eval_fn=eval_fn,
                                  device_put_fn=device_put_fn)
-            _write_history_csv(
-                os.path.join(model_folder, f"valid_{epoch}.csv"), vhist)
+            if is_p0:
+                _write_history_csv(
+                    os.path.join(model_folder, f"valid_{epoch}.csv"), vhist)
 
         if orbax is not None:
-            # async: this epoch's shards flush while the next trains
+            # async: this epoch's shards flush while the next trains.
+            # All processes participate (orbax coordinates internally).
             orbax.save(epoch, state, hyper or {})
-        save_checkpoint(
-            os.path.join(model_folder, f"model_{epoch}.msgpack"),
-            state, hyper or {})
+        if is_p0:
+            save_checkpoint(
+                os.path.join(model_folder, f"model_{epoch}.msgpack"),
+                state, hyper or {})
     if orbax is not None:
         orbax.close()
     return state

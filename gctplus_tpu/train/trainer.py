@@ -90,11 +90,60 @@ def make_train_step(model, pad_id: int, use_cond2dec: bool,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+HISTORY_KEYS = ("RCE", "KLD", "LOSS", "LR")
+
+
+def make_history_train_step(model, pad_id: int, use_cond2dec: bool,
+                            lr_schedule: Optional[Callable] = None,
+                            free_bits: float = 0.0) -> Callable:
+    """step(state, hist, i, batch, beta, rng) -> (state, hist).
+
+    The per-batch metric history lives ON DEVICE inside the compiled
+    step: hist is {key: (n_batches,) f32} and row i is written with a
+    fused scatter. This replaces accumulating one tiny device scalar
+    per batch on the host — which would end in an epoch-end
+    jnp.stack over n_batches operands, i.e. a fresh XLA program with
+    thousands of arguments per distinct epoch length (pathological
+    through a remote-compile tunnel). One transfer per epoch instead.
+    """
+
+    def step(state: TrainState, hist, i, batch, beta, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(model, p, batch, beta, pad_id,
+                                    use_cond2dec, rng, free_bits),
+            has_aux=True)
+        (_, aux), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads)
+        if lr_schedule is not None:
+            aux["LR"] = lr_schedule(state.step)
+        new_hist = {k: v.at[i].set(aux.get(k, jnp.zeros((), v.dtype)))
+                    for k, v in hist.items()}
+        return new_state, new_hist
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def make_history_eval_step(model, pad_id: int, use_cond2dec: bool) -> Callable:
+    """step(params, hist, i, batch, beta, rng) -> hist (see
+    make_history_train_step; validation variant of make_eval_step)."""
+    inner = _eval_metrics_fn(model, pad_id, use_cond2dec)
+
+    def step(params, hist, i, batch, beta, rng):
+        aux = inner(params, batch, beta, rng)
+        return {k: v.at[i].set(aux.get(k, jnp.zeros((), v.dtype)))
+                for k, v in hist.items()}
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
 def make_eval_step(model, pad_id: int, use_cond2dec: bool) -> Callable:
     """Validation step: same loss, no grad, dropout off but latent
     sampling ON (the reference validates with model.eval() yet still
     reparameterizes through Encoder.sampling — trainer1.py:205-210)."""
+    return jax.jit(_eval_metrics_fn(model, pad_id, use_cond2dec))
 
+
+def _eval_metrics_fn(model, pad_id: int, use_cond2dec: bool) -> Callable:
     def step(params, batch, beta, rng):
         econds = batch.get("econds")
         dconds = batch.get("dconds")
@@ -115,4 +164,4 @@ def make_eval_step(model, pad_id: int, use_cond2dec: bool) -> Callable:
         n = src.shape[0]
         return {k: v / n for k, v in aux.items()}
 
-    return jax.jit(step)
+    return step

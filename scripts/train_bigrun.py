@@ -1,0 +1,79 @@
+"""MOSES-scale training run (round 2): flagship-size models on the
+600k-molecule corpus from scripts/prep_bigcorpus.py.
+
+Variants:
+  vaetf   — unconditioned flagship (uc_sampling headline metrics)
+  pvaetf  — logP/tPSA/QED-conditioned (27-combo p_sampling protocol)
+
+Reference recipe: N=6, d_model=512, d_ff=2048, latent 128
+(Configuration/config.py:2-7), Adam(0.9,0.98,1e-9) + Noam warmup
+(trainer1.py:117-127), KL annealing 0.02/epoch (config.py:42-51).
+TPU recipe deltas: batch 512 (amortizes tunnel dispatch; the device
+step is the bottleneck at ~320 ms/batch), warmup 4000 steps (peak LR
+~7e-4 at the 4x-reference tokens/step), bf16 compute, free-bits 0.05
+default-on (EVIDENCE.md ablation), fixed 80-token shapes -> one XLA
+program per run.
+
+Resumable per-epoch like the demo drivers (kill + rerun safe).
+
+Usage: python scripts/train_bigrun.py [variant] [workdir] [epochs]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "vaetf"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_work/bigrun"
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    t0 = time.time()
+    assert variant in ("vaetf", "pvaetf"), variant
+    assert os.path.exists(os.path.join(workdir, "prepared", "train.csv")), \
+        "run scripts/prep_bigcorpus.py first"
+
+    props = [] if variant == "vaetf" else ["logP", "tPSA", "QED"]
+    args = types.SimpleNamespace(
+        seed=0, start_epoch=1, num_epoch=epochs, batch_size=512,
+        property_list=props, model_type=variant,
+        model_folder=os.path.join(workdir, f"run_{variant}512"),
+        use_scaffold=False, randomize_prob=0.0,
+        prepared_folder=os.path.join(workdir, "prepared"),
+        util_folder=os.path.join(workdir, "utils"), debug=False,
+        use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
+        KLA_max_beta=1.0, KLA_beg_epoch=1, KLA_free_bits=0.05,
+        lr_scheduler="WarmUpDefault", lr_WarmUpSteps=4000, lr=1e-4,
+        lr_beta1=0.9, lr_beta2=0.98, lr_eps=1e-9,
+        n_data_shards=1, n_model_shards=1, compute_dtype="bfloat16",
+        N=6, H=8, d_ff=2048, d_model=512, latent_dim=128, dropout=0.1,
+        variational=True, use_cond2dec=False,
+        use_cond2lat=(variant == "pvaetf"),
+        get_attn=False, skip_valid=True, fixed_seqlen=80)
+
+    done = 0
+    if os.path.isdir(args.model_folder):
+        for f in os.listdir(args.model_folder):
+            m = re.match(r"model_(\d+)\.msgpack$", f)
+            if m:
+                done = max(done, int(m.group(1)))
+    args.start_epoch = done + 1
+    if args.start_epoch > epochs:
+        print(f"already trained to epoch {done}", flush=True)
+        return
+    from gctplus_tpu.tasks.train_task import train_task
+    print(f"[{time.time()-t0:.0f}s] {variant}: epochs "
+          f"{args.start_epoch}..{epochs}", flush=True)
+    train_task(args)
+    print(f"BIGRUN_TRAIN_DONE {variant} {epochs} epochs "
+          f"{(time.time()-t0)/60:.1f} min", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ REFERENCE_ROOT = Path("/root/reference")
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / end-to-end tests")
+
+
 @pytest.fixture(scope="session")
 def reference_path():
     """Path to the read-only upstream reference, used ONLY as a golden

@@ -89,6 +89,51 @@ def test_kv_cache_matches_naive_greedy(variant):
             f"row {b}: naive={naive[b]} fast={fast[b]}")
 
 
+@pytest.mark.parametrize("variant", ["vaetf", "cvaetf"])
+def test_fused_packed_decode_matches_xla_path(variant):
+    """The fused Pallas decode path (packed (bs,T,D) caches, in-kernel
+    cache update — ops/decode_attention.py) must reproduce the XLA
+    KV-cache path token-for-token (greedy). Runs the kernels in
+    interpreter mode on CPU."""
+    pad_id, sos_id, eos_id = 1, 2, 3
+    bs, lat_len, max_new = 4, 16, 14
+    if variant == "vaetf":
+        cfg = ModelConfig(src_vocab=20, trg_vocab=20, N=2, d_model=32,
+                          d_ff=64, heads=4, latent_dim=8, dropout=0.0,
+                          nconds=0)
+        model = Vaetf(cfg)
+        dconds = None
+    else:
+        cfg = ModelConfig(src_vocab=20, trg_vocab=20, N=2, d_model=32,
+                          d_ff=64, heads=4, latent_dim=8, dropout=0.0,
+                          nconds=3, use_cond2lat=True)
+        model = Cvaetf(cfg)
+        dconds = jnp.asarray(np.random.default_rng(1).normal(size=(bs, 3)),
+                             jnp.float32)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(bs, lat_len, cfg.latent_dim)),
+                    jnp.float32)
+    toklen = np.array([9, 16, 12, 5])
+    src_mask = jnp.asarray(
+        np.arange(lat_len)[None, None, :] < toklen[:, None, None])
+    prefix = np.full((bs, 2), pad_id, np.int32)
+    prefix[:, 0] = sos_id
+    prefix[:, 1] = 5
+
+    outs = {}
+    for mode in (False, "interpret"):
+        eng = DecodeEngine(model, cfg, fused=mode)
+        outs[mode] = np.asarray(eng.sample(
+            params, jnp.asarray(prefix), 2, z, src_mask, dconds,
+            jax.random.PRNGKey(0), max_new=max_new, decode_algo="greedy",
+            eos_id=eos_id, pad_id=pad_id))
+    for b in range(bs):
+        assert (_trim(outs[False][b], eos_id, pad_id)
+                == _trim(outs["interpret"][b], eos_id, pad_id)), (
+            f"row {b}: xla={outs[False][b]} fused={outs['interpret'][b]}")
+
+
 def test_kv_cache_with_padded_prefix_bucket():
     """A prefix right-padded into a larger bucket must decode the same
     tokens as the tight prefix (positions stay compact)."""

@@ -115,6 +115,53 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 8
 
 
+def test_history_step_matches_plain_step():
+    """make_history_train_step (metrics scattered into a donated
+    on-device buffer) must be numerically identical to make_train_step
+    followed by host-side accumulation."""
+    from gctplus_tpu.train.trainer import (HISTORY_KEYS,
+                                           make_history_eval_step,
+                                           make_history_train_step)
+
+    model, cfg, params = _tiny_setup("vaetf")
+    tx, sched = make_optimizer(cfg.d_model, warmup_steps=10)
+    step_a = make_train_step(model, pad_id=1, use_cond2dec=False,
+                             lr_schedule=sched, donate=False)
+    step_b = make_history_train_step(model, pad_id=1, use_cond2dec=False,
+                                     lr_schedule=sched)
+    n = 5
+    subs = np.asarray(jax.random.split(jax.random.PRNGKey(3), n))
+
+    state_a = TrainState.create(params, tx)
+    ref_hist = {k: [] for k in HISTORY_KEYS}
+    for i in range(n):
+        state_a, aux = step_a(state_a, _tiny_batch(cfg, seed=i), 0.1,
+                              subs[i])
+        for k in HISTORY_KEYS:
+            ref_hist[k].append(float(aux.get(k, 0.0)))
+
+    state_b = TrainState.create(params, tx)
+    hist = {k: jnp.zeros(n, jnp.float32) for k in HISTORY_KEYS}
+    for i in range(n):
+        state_b, hist = step_b(state_b, hist, np.int32(i),
+                               _tiny_batch(cfg, seed=i), 0.1, subs[i])
+    for k in HISTORY_KEYS:
+        np.testing.assert_allclose(np.asarray(hist[k]), ref_hist[k],
+                                   rtol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6)
+
+    # eval variant fills its buffer with finite metrics
+    ev = make_history_eval_step(model, pad_id=1, use_cond2dec=False)
+    ehist = {k: jnp.zeros(2, jnp.float32) for k in HISTORY_KEYS}
+    for i in range(2):
+        ehist = ev(state_b.params, ehist, np.int32(i),
+                   _tiny_batch(cfg, seed=10 + i), 0.1, subs[i])
+    assert np.isfinite(np.asarray(ehist["LOSS"])).all()
+
+
 def test_train_step_sharded_over_mesh():
     assert len(jax.devices()) == 8, "conftest should give 8 CPU devices"
     mesh = make_mesh(n_data=4, n_model=2)
