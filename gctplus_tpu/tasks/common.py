@@ -77,10 +77,14 @@ def build_sampler(args, log=None) -> BaseSampler:
                              tuple(getattr(args, "property_list", None)
                                    or ("logP", "tPSA", "QED")))
 
+    import jax.numpy as jnp
+    dtype = (jnp.bfloat16
+             if getattr(args, "compute_dtype", "float32") == "bfloat16"
+             else jnp.float32)
     model, cfg = build_model(
         args.model_type, len(src_vocab), len(trg_vocab),
         N=args.N, d_model=args.d_model, d_ff=args.d_ff, heads=args.H,
-        latent_dim=args.latent_dim, dropout=args.dropout)
+        latent_dim=args.latent_dim, dropout=args.dropout, dtype=dtype)
     model_path = os.path.join(args.model_folder, args.model_name)
     if os.path.exists(model_path):
         params = load_params_any(model, cfg, model_path, args.model_type)

@@ -1,0 +1,76 @@
+"""Headline evaluation for the MOSES-scale run: uc@30k for vaetf and
+the 27-combo x10k p-sampling protocol for pvaetf, against the 600k
+corpus — the reference's own benchmark protocols
+(Inference/uc_sampling.py:101-191, Inference/p_sampling.py:157-318).
+
+Usage:
+  python scripts/eval_bigrun.py uc     [workdir] [epoch] [n]
+  python scripts/eval_bigrun.py psamp  [workdir] [epoch] [n_per_combo]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _args(workdir, variant, epoch, **kw):
+    base = dict(
+        model_type=variant,
+        model_folder=os.path.join(workdir, f"run_{variant}512"),
+        model_name=f"model_{epoch}.msgpack",
+        util_folder=os.path.join(workdir, "utils"),
+        data_folder=workdir,
+        save_folder=os.path.join(workdir, f"results_{variant}_{epoch}"),
+        property_list=(["logP", "tPSA", "QED"]
+                       if variant in ("pvaetf", "pscavaetf") else []),
+        max_strlen=80, decode_algo="multinomial", top_k=None, n_jobs=1,
+        seed=7, batch_size=512, N=6, H=8, d_ff=2048, d_model=512,
+        latent_dim=128, dropout=0.0, variational=True,
+        use_cond2dec=False, use_cond2lat=(variant != "vaetf"),
+        get_attn=False, compute_dtype="bfloat16")
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def main():
+    mode = sys.argv[1]
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_work/bigrun"
+    epoch = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    t0 = time.time()
+
+    import pandas as pd
+
+    if mode == "uc":
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else 30000
+        from gctplus_tpu.tasks.uc_sampling import uc_sampling
+        train = pd.read_csv(os.path.join(workdir, "raw", "train.csv"))[
+            "smiles"].tolist()
+        test = pd.read_csv(os.path.join(workdir, "raw", "test.csv"))[
+            "smiles"].tolist()
+        m = uc_sampling(_args(workdir, "vaetf", epoch, n_samples=n),
+                        train=train, test=test)
+        print("UC_METRICS " + json.dumps(
+            {k: (float(v) if isinstance(v, (int, float)) else str(v))
+             for k, v in m.iloc[0].to_dict().items()}), flush=True)
+    elif mode == "psamp":
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else 10000
+        from gctplus_tpu.tasks.p_sampling import p_sampling
+        train_props = pd.read_csv(os.path.join(workdir, "raw", "train.csv"))
+        df = p_sampling(_args(workdir, "pvaetf", epoch, n_samples=n),
+                        train_props=train_props)
+        agg = df.mean(numeric_only=True).to_dict()
+        print("PSAMP_MEAN " + json.dumps(
+            {k: round(float(v), 4) for k, v in agg.items()}), flush=True)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+    print(f"DONE {(time.time()-t0)/60:.1f} min", flush=True)
+
+
+if __name__ == "__main__":
+    main()
