@@ -84,7 +84,11 @@ def build_sampler(args, log=None) -> BaseSampler:
     model, cfg = build_model(
         args.model_type, len(src_vocab), len(trg_vocab),
         N=args.N, d_model=args.d_model, d_ff=args.d_ff, heads=args.H,
-        latent_dim=args.latent_dim, dropout=args.dropout, dtype=dtype)
+        latent_dim=args.latent_dim, dropout=args.dropout, dtype=dtype,
+        # multi-token Pallas attention ties XLA on-chip at GCT shapes
+        # (EVIDENCE.md round-2 A/B: 0.99x) — wired but non-default
+        use_pallas_attention=bool(getattr(args, "use_pallas_attention",
+                                          False)))
     model_path = os.path.join(args.model_folder, args.model_name)
     if os.path.exists(model_path):
         params = load_params_any(model, cfg, model_path, args.model_type)

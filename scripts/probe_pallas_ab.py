@@ -38,15 +38,20 @@ def main():
         model = Vaetf(cfg)
         params = init_params(model, cfg)
 
-        enc = jax.jit(lambda p, src, sm: model.apply(
-            {"params": p}, src, sm, None, True, method=Vaetf.encode))
+        # mask built INSIDE jit and a scalar output: through the
+        # tunnel, eager ops cost ~146 ms each and a 21MB transfer
+        # dominates wall time (first A/B iteration measured both)
+        def _enc(p, src):
+            sm = get_src_mask(src, 1, None)
+            z, mu, lv = model.apply({"params": p}, src, sm, None, True,
+                                    method=Vaetf.encode)
+            return jnp.sum(mu.astype(jnp.float32))
+        enc = jax.jit(_enc)
 
         def run(i):
             r = np.random.default_rng(i)
-            src = jnp.asarray(r.integers(4, 40, (bs, L)), jnp.int32)
-            sm = get_src_mask(src, 1, None)
-            z, mu, lv = enc(params, src, sm)
-            return np.asarray(mu)
+            src = r.integers(4, 40, (bs, L)).astype(np.int32)
+            return np.asarray(enc(params, src))
 
         run(999)  # compile
         t0 = time.perf_counter()
