@@ -28,11 +28,10 @@ os.environ["GCTPLUS_NO_COMPILE_CACHE"] = "1"  # keep package bootstrap off
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# session-local compile cache shared by both worker processes and the
-# resume launch: same machine, so CPU AOT artifacts are safe here (the
-# repo-level cache stays disabled for CPU runs — see conftest)
-jax.config.update("jax_compilation_cache_dir", "/tmp/gct_mh_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO compile cache: CPU AOT artifacts are machine-feature-sensitive
+# and jax refuses mismatched features at load (tried: a shared
+# worker cache tripped exactly that between launches)
+jax.config.update("jax_compilation_cache_dir", None)
 
 # each process builds its own (deterministic, seed-keyed) tiny corpus
 # in a private dir to avoid filesystem races; checkpoints/CSVs go to
