@@ -107,20 +107,30 @@ def tanimoto_similarity(smi1: str, smi2: str) -> Optional[float]:
     return tanimoto(smiles_to_morgan(smi1), smiles_to_morgan(smi2))
 
 
-def bulk_tanimoto_matrix(fps_a: np.ndarray, fps_b: np.ndarray) -> np.ndarray:
-    """All-pairs Tanimoto via matmul on device — this is what makes
-    IntDiv/SNN over 30k x 30k molecules practical (the reference uses
-    MOSES' torch implementation; ours rides the MXU).
+def bulk_tanimoto_matrix(fps_a: np.ndarray, fps_b: np.ndarray,
+                         row_chunk: int = 4096) -> np.ndarray:
+    """All-pairs Tanimoto on HOST via chunked BLAS matmul.
 
     fps_*: (n, bits) uint8 0/1 arrays. Returns (na, nb) float32.
-    """
-    import jax
-    import jax.numpy as jnp
 
-    a = jnp.asarray(fps_a, jnp.float32)
-    b = jnp.asarray(fps_b, jnp.float32)
-    inter = a @ b.T
-    pa = jnp.sum(a, axis=1, keepdims=True)
-    pb = jnp.sum(b, axis=1, keepdims=True)
-    union = pa + pb.T - inter
-    return np.asarray(jnp.where(union > 0, inter / union, 1.0))
+    Why host, not device: in this environment every eager device op
+    dispatches through a remote tunnel — a fresh remote compile per
+    distinct operand shape (minutes each) plus hundreds of MB of
+    result transfers, all contending with any training run on the
+    chip. A chunked f32 matmul through the host BLAS covers
+    30k x 50k pairs in ~1-2 min with no device involvement.
+    """
+    a = np.ascontiguousarray(fps_a, np.float32)
+    bT = np.ascontiguousarray(fps_b.T, np.float32)
+    pa = a.sum(axis=1).astype(np.float32)
+    pb = bT.sum(axis=0).astype(np.float32)
+    out = np.empty((a.shape[0], bT.shape[1]), np.float32)
+    for i in range(0, a.shape[0], row_chunk):
+        inter = a[i: i + row_chunk] @ bT
+        union = pa[i: i + row_chunk, None] + pb[None, :] - inter
+        # union == 0 only when both fps are all-zero: Tanimoto 1.0
+        zero = union <= 0
+        np.maximum(union, 1.0, out=union)
+        inter[zero] = 1.0
+        np.divide(inter, union, out=out[i: i + inter.shape[0]])
+    return out
