@@ -110,26 +110,40 @@ class BaseSampler:
                       extra_lat: int, dconds: Optional[np.ndarray]
                       ) -> np.ndarray:
         """Shared decode: bucketed prefix; z + source mask are drawn on
-        device inside the compiled sampler (DecodeEngine.sample_prior)."""
+        device inside the compiled sampler (DecodeEngine.sample_prior).
+
+        Partial batches are padded up to the full batch_size and
+        trimmed after: ONE compiled program per run (each new batch
+        shape costs a multi-minute remote compile here) and the fused
+        kernels keep their 32-row block alignment."""
+        if self.engine.fused and n != self.batch_size:
+            n_pad = max(self.batch_size, _round_up(n, 32))
+        else:
+            n_pad = n
         P = len(prefix_ids)
         P_bucket = _round_up(P, 8)
-        prefix = np.full((n, P_bucket), self.src_vocab.pad_id, np.int32)
+        prefix = np.full((n_pad, P_bucket), self.src_vocab.pad_id, np.int32)
         prefix[:, :P] = prefix_ids
 
         lat_len = int(np.max(toklen)) + extra_lat
         lat_len = min(_round_up(lat_len, self.lat_bucket),
                       self.cfg.max_seq_len)
-        stop = np.minimum(toklen + extra_lat, lat_len)
+        toklen_pad = np.resize(np.asarray(toklen), n_pad)
+        stop = np.minimum(toklen_pad + extra_lat, lat_len)
 
-        dc = None if dconds is None else self._shard(
-            jnp.asarray(dconds, jnp.float32))
+        if dconds is None:
+            dc = None
+        else:
+            dconds_pad = np.resize(np.asarray(dconds, np.float32),
+                                   (n_pad, np.asarray(dconds).shape[1]))
+            dc = self._shard(jnp.asarray(dconds_pad, jnp.float32))
         toks = self.engine.sample_prior(
             self.params, self._shard(jnp.asarray(prefix)), P, lat_len,
             self._shard(jnp.asarray(stop, jnp.int32)), dc,
             self._next_key(), max_new=self.max_strlen - 1,
             decode_algo=self.decode_algo, top_k=self.top_k,
             eos_id=self.trg_vocab.eos_id, pad_id=self.trg_vocab.pad_id)
-        return np.asarray(toks)
+        return np.asarray(toks)[:n]
 
     # --- encoding (for interpolation / latent analysis) ----------------
     def encode_smiles(self, smiles_list: Sequence[str],
