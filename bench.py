@@ -184,11 +184,13 @@ def main():
     dt = (time.perf_counter() - t0) / n_steps
     train_tps = BS * T_TRG / dt
 
-    # MFU: 6*P*T matmul-FLOP estimate over the peak of this chip
+    # MFU: 6*P*T matmul-FLOP estimate (decoder-target tokens only)
+    # over the bf16 peak of this chip; None when the chip is not in
+    # the table — a made-up peak would mislabel the number
     kind = jax.devices()[0].device_kind.lower()
     peak = 197e12 if "v5 lite" in kind else \
-        275e12 if "v4" in kind else 918e12 if "v6" in kind else 197e12
-    mfu = 6.0 * n_params * train_tps / peak
+        275e12 if "v4" in kind else 918e12 if "v6" in kind else None
+    mfu = 6.0 * n_params * train_tps / peak if peak else None
 
     speedup = ours_sps / ref_sps
     print(json.dumps({
@@ -201,7 +203,7 @@ def main():
                            "(79 steps, 3 bucket shapes, min(real, fitted))",
         "train_tokens_per_sec": round(train_tps, 0),
         "train_step_ms": round(dt * 1e3, 1),
-        "train_mfu_pct": round(100 * mfu, 1),
+        "train_mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
         "device": jax.devices()[0].device_kind,
     }))
 

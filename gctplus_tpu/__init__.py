@@ -23,7 +23,11 @@ if not _os.environ.get("GCTPLUS_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
 
-        _platforms = (_os.environ.get("JAX_PLATFORMS") or "").lower()
+        # the config API wins over the env var: a site hook pins
+        # JAX_PLATFORMS before user code, and CPU-forcing callers
+        # (tests, dryrun_multichip) can only override via the config
+        _platforms = (getattr(_jax.config, "jax_platforms", None)
+                      or _os.environ.get("JAX_PLATFORMS") or "").lower()
         if _platforms not in ("cpu", "", None):
             # default cache lives inside the repo (gitignored): /tmp is
             # wiped between sessions on this machine, and TPU-program

@@ -21,8 +21,9 @@ Implementation notes / fidelity:
 - SAS: Ertl-Schuffenhauer complexity terms without the precomputed
   PubChem fragment-frequency table (which is a data artifact, not
   code); scores are shifted but rank-correlated.
-- NP: natural-product likeness needs a trained fragment table; a
-  neutral 0.0 is returned (documented limitation).
+- NP: natural-product likeness via the corpus-derived contribution
+  table in chem/np_score.py (the published model's fragment table is
+  a data artifact; rank behavior matches on drug-like input).
 """
 
 from __future__ import annotations

@@ -153,7 +153,9 @@ def _pallas_attention_applicable(mask, deterministic, dropout,
     if not deterministic and dropout > 0:
         return False
     import jax as _jax
-    return _jax.default_backend() not in ("cpu", "gpu")
+    # whitelist TPU-like backends: an unknown backend (e.g. METAL)
+    # must not attempt TPU-only Pallas lowering
+    return _jax.default_backend() in ("tpu", "axon")
 
 
 class MultiHeadAttention(nn.Module):

@@ -124,6 +124,16 @@ def _heads_attend_major(q, k, v, valid3, heads: int, scale: float):
     return ctx.astype(v.dtype)
 
 
+def _safe_block(bs: int, want: int) -> int:
+    """Largest divisor of bs that is <= want — direct calls with any
+    batch size get a working grid instead of an assert (block_b is a
+    static arg, so this runs at trace time)."""
+    b = max(1, min(want, bs))
+    while bs % b:
+        b -= 1
+    return b
+
+
 @functools.partial(jax.jit,
                    static_argnames=("heads", "block_b", "interpret"))
 def self_attention_step(pos, q, k_cache, v_cache, heads: int,
@@ -136,7 +146,7 @@ def self_attention_step(pos, q, k_cache, v_cache, heads: int,
     (bs, D) slab on this layout). Returns ctx (bs, 1, D)."""
     bs, _, D = q.shape
     T = k_cache.shape[0]
-    assert bs % block_b == 0, (bs, block_b)
+    block_b = _safe_block(bs, block_b)
     grid = (bs // block_b,)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
     qT = jnp.transpose(q, (1, 0, 2))                   # (1, bs, D)
@@ -184,7 +194,7 @@ def cross_attention_step(q, k_mem, v_mem, lengths, heads: int,
     reference's toklen-derived src_mask). Returns (bs, 1, D)."""
     bs, _, D = q.shape
     Tm = k_mem.shape[1]
-    assert bs % block_b == 0, (bs, block_b)
+    block_b = _safe_block(bs, block_b)
     grid = (bs // block_b,)
     len2d = lengths.astype(jnp.int32).reshape(bs, 1)
 

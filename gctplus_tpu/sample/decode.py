@@ -75,7 +75,9 @@ class DecodeEngine:
         self.model = model
         self.cfg = cfg
         if fused is None:
-            fused = jax.default_backend() not in ("cpu", "gpu")
+            # whitelist TPU-like backends (see layers.py
+            # _pallas_attention_applicable)
+            fused = jax.default_backend() in ("tpu", "axon")
         self.fused = fused
         self._jitted: Dict[Tuple, Any] = {}
 

@@ -100,8 +100,12 @@ def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
         lv0 = approximate_z(lv0[: len(t0)], L, rng)
         lv1 = approximate_z(lv1[: len(t1)], L, rng)
 
-    out: List[Optional[str]] = []
-    for alpha in np.linspace(0.0, 1.0, n_interp + 2):
+    # interior alphas only: the endpoints of the returned path are the
+    # INPUT molecules themselves, not decodes of their latents
+    # (mol_interpolation.py:203-204 `if alpha == 0 or alpha == 1:
+    # continue` and :258 `gen_smi = [src0] + gen_smi + [src1]`)
+    out: List[Optional[str]] = [s0]
+    for alpha in np.linspace(0.0, 1.0, n_interp + 2)[1:-1]:
         mu_a = interp_fn(mu0, mu1, float(alpha))
         lv_a = interp_fn(lv0, lv1, float(alpha))
         smi, std = None, 0.0
@@ -117,22 +121,57 @@ def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
             if std >= 1.0:
                 break
         out.append(smi)
+    out.append(s1)
     return out
 
 
-def smoothness_metrics(path_smiles: List[Optional[str]]) -> dict:
-    """smooth_start / smooth_prev (mol_interpolation.py:143-151)."""
+def compute_smoothness_prev(sims_prev: Sequence[float],
+                            threshold: float = 0.50) -> float:
+    """Fraction of adjacent-step similarities >= threshold
+    (mol_interpolation.py:142-143)."""
+    return sum(1 for s in sims_prev if s >= threshold) / len(sims_prev)
+
+
+def compute_smoothness_start(sim_fwd: Sequence[float],
+                             sim_rev: Sequence[float]) -> float:
+    """1 - sqrt(std(d_fwd, ddof=1) * std(d_rev, ddof=1)) over the
+    increment series of the similarity-to-first and similarity-to-last
+    curves (mol_interpolation.py:145-150)."""
+    d_fwd = np.diff(np.asarray(sim_fwd, float))
+    d_rev = np.diff(np.asarray(sim_rev, float))
+    return 1.0 - float((d_fwd.std(ddof=1) * d_rev.std(ddof=1)) ** 0.5)
+
+
+def smoothness_metrics(path_smiles: List[Optional[str]],
+                       threshold: float = 0.50) -> dict:
+    """smooth_start / smooth_prev, reference formulas exactly
+    (mol_interpolation.py:142-150,267-296):
+
+    - smooth_prev = fraction of ADJACENT-step Tanimoto similarities
+      >= threshold (compute_smoothness_prev, :142-143);
+    - smooth_start = 1 - sqrt(std(d_fwd, ddof=1) * std(d_rev, ddof=1))
+      where d_fwd/d_rev are the increment series of the similarity-to-
+      FIRST and similarity-to-LAST curves over the whole path
+      (compute_smoothness_start, :145-150; curves built at :280-290).
+
+    The reference path never contains invalid entries (the retry loop
+    exits the process otherwise, :251-256); here failed decodes are
+    dropped from the path and surfaced via frac_decoded."""
     valid = [s for s in path_smiles if s]
-    if len(valid) < 2:
+    frac = len(valid) / max(1, len(path_smiles))
+    if len(valid) < 3:
         return {"smooth_start": 0.0, "smooth_prev": 0.0,
-                "frac_decoded": len(valid) / max(1, len(path_smiles))}
-    start = valid[0]
-    sims_start = [tanimoto_similarity(start, s) or 0.0 for s in valid[1:]]
+                "frac_decoded": frac}
+    first, last = valid[0], valid[-1]
+    sim_fwd = np.array([tanimoto_similarity(first, s) or 0.0
+                        for s in valid])
+    sim_rev = np.array([tanimoto_similarity(last, s) or 0.0
+                        for s in valid])
     sims_prev = [tanimoto_similarity(a, b) or 0.0
                  for a, b in zip(valid, valid[1:])]
-    return {"smooth_start": float(np.mean(sims_start)),
-            "smooth_prev": float(np.mean(sims_prev)),
-            "frac_decoded": len(valid) / len(path_smiles)}
+    return {"smooth_start": compute_smoothness_start(sim_fwd, sim_rev),
+            "smooth_prev": compute_smoothness_prev(sims_prev, threshold),
+            "frac_decoded": frac}
 
 
 def mol_interpolation(args, smiles_source: Sequence[str], log=None

@@ -41,6 +41,18 @@ from gctplus_tpu.train.trainer import (HISTORY_KEYS, TrainState,
                                        make_history_train_step)
 
 
+def _host_saveable(state: TrainState) -> bool:
+    """msgpack serialization gathers every leaf to host numpy — only
+    possible when each leaf is fully addressable from this process or
+    fully replicated (multi-host pure-DP). Model-sharded multi-host
+    params must go through the orbax backend instead."""
+    for leaf in jax.tree_util.tree_leaves((state.params, state.opt_state)):
+        if isinstance(leaf, jax.Array) and not (
+                leaf.is_fully_addressable or leaf.is_fully_replicated):
+            return False
+    return True
+
+
 def save_checkpoint(path: str, state: TrainState, hyper: Dict) -> None:
     blob = {
         "params": serialization.to_state_dict(state.params),
@@ -189,6 +201,12 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
             if log:
                 log.info(f"resumed from {ckpt_path}")
 
+    if free_bits and log:
+        # the free-bits floor is the recommended recipe but NOT the
+        # reference objective (trainer1.py:19-30) — say so loudly
+        log.warning(f"KLA_free_bits={free_bits}: objective deviates "
+                    "from the exact reference ELBO; pass "
+                    "-exact_reference_objective for parity training")
     step_fn = make_history_train_step(model, pad_id, use_cond2dec, sched,
                                       free_bits=free_bits)
     eval_fn = make_history_eval_step(model, pad_id, use_cond2dec)
@@ -228,9 +246,18 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
             # All processes participate (orbax coordinates internally).
             orbax.save(epoch, state, hyper or {})
         if is_p0:
-            save_checkpoint(
-                os.path.join(model_folder, f"model_{epoch}.msgpack"),
-                state, hyper or {})
+            if _host_saveable(state):
+                save_checkpoint(
+                    os.path.join(model_folder, f"model_{epoch}.msgpack"),
+                    state, hyper or {})
+            elif orbax is None:
+                raise RuntimeError(
+                    "params are model-sharded across hosts — the "
+                    "msgpack backend cannot gather them; use "
+                    "ckpt_backend='orbax'")
+            elif log and epoch == start_epoch:
+                log.warning("skipping msgpack checkpoints (multi-host "
+                            "model-sharded params); orbax shards only")
     if orbax is not None:
         orbax.close()
     return state

@@ -120,7 +120,10 @@ def make_history_train_step(model, pad_id: int, use_cond2dec: bool,
                     for k, v in hist.items()}
         return new_state, new_hist
 
-    return jax.jit(step, donate_argnums=(1,))
+    # donate BOTH the state (params + Adam moments update in place —
+    # halves the optimizer-state HBM high-water mark) and the history
+    # buffer; the loop never reuses either input
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_history_eval_step(model, pad_id: int, use_cond2dec: bool) -> Callable:

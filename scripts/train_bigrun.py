@@ -2,8 +2,16 @@
 600k-molecule corpus from scripts/prep_bigcorpus.py.
 
 Variants:
-  vaetf   — unconditioned flagship (uc_sampling headline metrics)
-  pvaetf  — logP/tPSA/QED-conditioned (27-combo p_sampling protocol)
+  vaetf     — unconditioned flagship (uc_sampling headline metrics)
+  pvaetf    — logP/tPSA/QED-conditioned (27-combo p_sampling protocol)
+  scavaetf  — scaffold-conditioned (sca_sampling SSF protocol);
+              reference recipe Bashscript/train/train_scavaetf.sh
+  pscavaetf — property+scaffold joint (psca_sampling protocol);
+              reference recipe Bashscript/train/train_pscavaetf.sh
+
+Scaffold variants use the measured corpus bound scaffold_fixed_len=128
+(p99.99 of scaffold+<sep>+smiles tokens; 45/516k rows truncated) — a
+~25% step-time saving vs the conservative 2*80+1 default shape.
 
 Reference recipe: N=6, d_model=512, d_ff=2048, latent 128
 (Configuration/config.py:2-7), Adam(0.9,0.98,1e-9) + Noam warmup
@@ -35,16 +43,19 @@ def main():
     workdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_work/bigrun"
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     t0 = time.time()
-    assert variant in ("vaetf", "pvaetf"), variant
+    assert variant in ("vaetf", "pvaetf", "scavaetf", "pscavaetf"), variant
     assert os.path.exists(os.path.join(workdir, "prepared", "train.csv")), \
         "run scripts/prep_bigcorpus.py first"
 
-    props = [] if variant == "vaetf" else ["logP", "tPSA", "QED"]
+    props = ([] if variant in ("vaetf", "scavaetf")
+             else ["logP", "tPSA", "QED"])
+    use_sca = variant in ("scavaetf", "pscavaetf")
     args = types.SimpleNamespace(
         seed=0, start_epoch=1, num_epoch=epochs, batch_size=512,
         property_list=props, model_type=variant,
         model_folder=os.path.join(workdir, f"run_{variant}512"),
-        use_scaffold=False, randomize_prob=0.0,
+        use_scaffold=use_sca, scaffold_fixed_len=128,
+        randomize_prob=0.0,
         prepared_folder=os.path.join(workdir, "prepared"),
         util_folder=os.path.join(workdir, "utils"), debug=False,
         use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
@@ -54,7 +65,7 @@ def main():
         n_data_shards=1, n_model_shards=1, compute_dtype="bfloat16",
         N=6, H=8, d_ff=2048, d_model=512, latent_dim=128, dropout=0.1,
         variational=True, use_cond2dec=False,
-        use_cond2lat=(variant == "pvaetf"),
+        use_cond2lat=(variant in ("pvaetf", "pscavaetf")),
         get_attn=False, skip_valid=True, fixed_seqlen=80)
 
     done = 0

@@ -85,8 +85,25 @@ def test_mol_interpolation_task(tiny_setup):
     assert np.allclose(lerp(v0, v1, 0.5), 1.5)
     s = slerp(v0.reshape(2, 4), v1.reshape(2, 4), 0.0)
     assert np.allclose(s, v0.reshape(2, 4), atol=1e-6)
+    # reference-formula parity, hand-computed
+    # (Inference/mol_interpolation.py:142-150):
+    # smooth_prev = fraction of adjacent sims >= 0.50
+    from gctplus_tpu.tasks.mol_interpolation import (
+        compute_smoothness_prev, compute_smoothness_start)
+    assert compute_smoothness_prev([0.6, 0.4, 0.5, 0.49]) == 0.5
+    # smooth_start: rev curve [.25,.5,.75] -> d_rev [.25,.25]
+    # (binary-exact) std(ddof=1)=0 -> 1 - sqrt(std_fwd*0) = 1.0
+    assert compute_smoothness_start([1, .8, .5], [.25, .5, .75]) == 1.0
+    # d_fwd [-.5,-.1] std=.2828427, d_rev [.2,.6] std=.2828427
+    # -> 1 - .2828427 = .7171573
+    assert abs(compute_smoothness_start([1, .5, .4], [.2, .4, 1.0])
+               - (1 - 0.4 / 2 ** 0.5)) < 1e-12
     m = smoothness_metrics(["CCO", "CCN", None, "CCO"])
-    assert 0 <= m["smooth_start"] <= 1
+    assert m["smooth_start"] <= 1  # can be negative, like the reference
+    # identical path: fwd/rev curves constant -> both stds 0 ->
+    # smooth_start 1; adjacent sims all 1 -> smooth_prev 1
+    m = smoothness_metrics(["CCO", "CCO", "CCO"])
+    assert m["smooth_start"] == 1.0 and m["smooth_prev"] == 1.0
 
     smis = out["frames"]["train"]["smiles"].tolist()[:60]
     df = mol_interpolation(
