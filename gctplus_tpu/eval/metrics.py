@@ -53,7 +53,11 @@ def fraction_unique(smiles: Sequence[str], k: Optional[int] = None,
 
 def novelty(smiles: Sequence[str], train_set: Sequence[str],
             n_jobs: int = 1, train_is_canonical: bool = True) -> float:
-    canon = [c for c in canonicalize_all(smiles, n_jobs) if c is not None]
+    """|unique(gen) - train| / |unique(gen)| — moses semantics over the
+    UNIQUE canonical set (also the reference sca aggregation,
+    Inference/sca_sampling.py:228)."""
+    canon = set(c for c in canonicalize_all(smiles, n_jobs)
+                if c is not None)
     if not canon:
         return 0.0
     if train_is_canonical:
@@ -144,38 +148,97 @@ def frag_similarity(gen: Sequence[str], ref: Sequence[str],
 
 
 def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
-                     n_jobs: int = 1) -> Dict[str, float]:
-    """SSF (scaffold-similarity == 1 fraction) and sim80
-    (Inference/sca_sampling.py:221-232), over valid molecules."""
-    from functools import partial
+                     n_jobs: int = 1, canonical: bool = False,
+                     n_total: Optional[int] = None,
+                     return_details: bool = False):
+    """Reference sca aggregation (Inference/sca_sampling.py:196-234):
 
-    valid = [s for s in canonicalize_all(gen, n_jobs) if s is not None]
-    if not valid:
-        return {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0}
-    sims = pmap(partial(murcko_scaffold_similarity, smi2=target_scaffold),
-                valid, n_jobs)
-    sims = [s for s in sims if s is not None]
-    if not sims:
-        return {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0}
-    sims = np.asarray(sims)
-    return {
-        "SSF": float((sims >= 1.0).mean()),
-        "sim80": float((sims >= 0.8).mean()),
+    - SSF / sim80 / avg_scaffold_sim over VALID molecules; rows whose
+      similarity fails (None) stay in the denominator, as in the
+      reference's len(valid);
+    - valid_in_tolerance / unique_in_tolerance: exact canonical-
+      scaffold match fractions with len(gen) in the denominator
+      (:231-232).
+
+    canonical=True skips re-canonicalization (caller already did);
+    n_total overrides the all-generated denominator when `gen` holds
+    only the valid subset. The target scaffold + every distinct
+    generated scaffold is fingerprinted ONCE (the reference recomputes
+    both sides per molecule)."""
+    from gctplus_tpu.chem.fingerprints import path_fingerprint, tanimoto
+    from gctplus_tpu.chem.sanitize import mol_from_smiles
+
+    n_gen = n_total if n_total is not None else len(gen)
+    if canonical:
+        valid = [s for s in gen if s is not None]
+    else:
+        valid = [s for s in canonicalize_all(gen, n_jobs) if s is not None]
+    zero = {"SSF": 0.0, "sim80": 0.0, "avg_scaffold_sim": 0.0,
+            "valid_in_tolerance": 0.0, "unique_in_tolerance": 0.0}
+    if not valid or not n_gen:
+        return (zero, [], np.zeros(0)) if return_details else zero
+
+    t_sca = murcko_scaffold(target_scaffold)
+    t_mol = mol_from_smiles(t_sca) if t_sca else None
+    t_fp = path_fingerprint(t_mol) if t_mol is not None else None
+
+    scas = pmap(murcko_scaffold, valid, n_jobs)
+    fp_cache: Dict[str, Optional[np.ndarray]] = {}
+
+    def sim_of(s: Optional[str]) -> Optional[float]:
+        if s is None or t_sca is None:
+            return None
+        if s == "" and t_sca == "":
+            return 1.0
+        if s == "" or t_sca == "":
+            return 0.0
+        if t_fp is None:
+            return None
+        if s not in fp_cache:
+            m = mol_from_smiles(s)
+            fp_cache[s] = path_fingerprint(m) if m is not None else None
+        fp = fp_cache[s]
+        return tanimoto(fp, t_fp) if fp is not None else None
+
+    sims = np.asarray([v if (v := sim_of(s)) is not None else 0.0
+                       for s in scas], float)
+    n_valid = len(valid)
+    seen: set = set()
+    uit = 0
+    for smi, s in zip(valid, scas):
+        if smi in seen:
+            continue
+        seen.add(smi)
+        uit += s == target_scaffold
+    out = {
+        "SSF": float((sims >= 1.0).sum() / n_valid),
+        "sim80": float((sims >= 0.8).sum() / n_valid),
         "avg_scaffold_sim": float(sims.mean()),
+        "valid_in_tolerance":
+            sum(s == target_scaffold for s in scas) / n_gen,
+        "unique_in_tolerance": uit / n_gen,
     }
+    # details: per-valid-molecule scaffold strings + similarity array
+    # (psca joint-tolerance aggregation reuses them)
+    return (out, scas, sims) if return_details else out
 
 
 def property_error_stats(gen_props: np.ndarray, target: np.ndarray,
                          names: Sequence[str]) -> Dict[str, float]:
-    """Per-property MSE/MAE/SD vs targets (Inference/p_sampling.py:251-266)."""
+    """Per-property error stats with the reference's exact formulas
+    (Inference/p_sampling.py:251-259, psca_sampling.py:258-266):
+    the 'MSE' column is the SIGNED MEAN error `delp.mean()` — a
+    reference quirk kept for column/number parity — MAE is
+    `delp.abs().mean()`, SD is `delp.std()` (pandas ddof=1)."""
     out: Dict[str, float] = {}
     err = np.asarray(gen_props, float) - np.asarray(target, float)
     for j, name in enumerate(names):
         e = err[:, j]
         e = e[np.isfinite(e)]
-        out[f"{name}_MSE"] = float(np.mean(e ** 2)) if len(e) else float("nan")
+        out[f"{name}_MSE"] = float(np.mean(e)) if len(e) else float("nan")
         out[f"{name}_MAE"] = float(np.mean(np.abs(e))) if len(e) else float("nan")
-        out[f"{name}_SD"] = float(np.std(e)) if len(e) else float("nan")
+        out[f"{name}_SD"] = float(np.std(e, ddof=1)) if len(e) > 1 \
+            else float("nan")
     return out
 
 

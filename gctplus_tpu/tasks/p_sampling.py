@@ -15,10 +15,8 @@ import pandas as pd
 from gctplus_tpu.chem.mapper import pmap
 from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
 from gctplus_tpu.eval.metrics import (
-    fraction_unique,
-    fraction_valid,
+    canonicalize_all,
     internal_diversity,
-    novelty,
     property_error_stats,
 )
 from gctplus_tpu.tasks.common import build_sampler
@@ -68,25 +66,34 @@ def p_sampling(args, train=None, train_props=None, log=None) -> pd.DataFrame:
             log.info(f"combo {combo}: sampled {len(gen)}")
 
         smiles = gen["smiles"].tolist()
-        valid = fraction_valid(smiles, args.n_jobs)
+        # reference aggregation (p_sampling.py:234-266): canonicalize
+        # once; unique over valid, novelty/intDiv over the UNIQUE set
+        canon = canonicalize_all(smiles, args.n_jobs)
+        valid_smis = [c for c in canon if c is not None]
+        uniq = list(dict.fromkeys(valid_smis))
+        n_valid = len(valid_smis)
         row = {
             "logP": combo[0], "tPSA": combo[1], "QED": combo[2],
-            "valid": valid,
-            "unique": fraction_unique(smiles, None, args.n_jobs),
-            "intDiv": internal_diversity(smiles, args.n_jobs),
+            "valid": n_valid / max(1, len(smiles)),
+            "unique": len(uniq) / max(1, n_valid),
+            "intDiv": internal_diversity(uniq, args.n_jobs),
         }
         if train is not None:
-            row["novel"] = novelty(smiles, train, args.n_jobs)
+            tset = train if isinstance(train, set) else set(train)
+            row["novel"] = (sum(1 for u in uniq if u not in tset)
+                            / max(1, len(uniq)))
 
-        # property errors over valid molecules
+        # property errors over valid molecules (aligned with valid_smis)
         from functools import partial
 
         from gctplus_tpu.chem.descriptors import props_row
 
-        vals = [v for v in pmap(partial(props_row, props=props), smiles,
-                                args.n_jobs) if v is not None]
-        if vals:
-            vals = np.asarray(vals)
+        vals = pmap(partial(props_row, props=props), valid_smis,
+                    args.n_jobs)
+        keep = [(s, v) for s, v in zip(valid_smis, vals) if v is not None]
+        if keep:
+            kept_smis = [s for s, _ in keep]
+            vals = np.asarray([v for _, v in keep])
             for j, p in enumerate(props):
                 cond_values[p].setdefault(combo[j], []).extend(
                     vals[:, j].tolist())
@@ -96,8 +103,11 @@ def p_sampling(args, train=None, train_props=None, log=None) -> pd.DataFrame:
             for j, p in enumerate(props):
                 in_tol &= np.abs(vals[:, j] - combo[j]) <= PROP_TOLERANCES.get(
                     p, np.inf)
-            row["valid_in_tolerance"] = float(in_tol.mean()) * valid
-            row["unique_in_tolerance"] = row["valid_in_tolerance"] * row["unique"]
+            # denominators are n_samples; unique_in_tolerance dedups
+            # the in-box molecules (p_sampling.py:261-266)
+            row["valid_in_tolerance"] = float(in_tol.sum()) / len(smiles)
+            row["unique_in_tolerance"] = len(
+                {s for s, ok in zip(kept_smis, in_tol) if ok}) / len(smiles)
         if n_train_near is not None:
             row["n_train"] = n_train_near[ci]
         rows.append(row)

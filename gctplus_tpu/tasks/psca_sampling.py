@@ -13,10 +13,10 @@ import numpy as np
 import pandas as pd
 
 from gctplus_tpu.chem.mapper import pmap
-from gctplus_tpu.config import target_prop_combinations
+from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
 from gctplus_tpu.eval.metrics import (
-    fraction_unique,
-    fraction_valid,
+    canonicalize_all,
+    internal_diversity,
     property_error_stats,
     scaffold_metrics,
 )
@@ -25,8 +25,8 @@ from gctplus_tpu.tasks.sca_sampling import select_scaffolds
 from gctplus_tpu.utils import get_logger
 
 
-def psca_sampling(args, scaffold_source: Sequence[str], log=None
-                  ) -> pd.DataFrame:
+def psca_sampling(args, scaffold_source: Sequence[str], train=None,
+                  log=None) -> pd.DataFrame:
     save_folder = os.path.join(args.save_folder, "psca_sampling")
     os.makedirs(save_folder, exist_ok=True)
     log = log or get_logger("psca_sampling",
@@ -50,11 +50,31 @@ def psca_sampling(args, scaffold_source: Sequence[str], log=None
                 gen = pd.DataFrame({"smiles": smiles})
                 gen.to_csv(gen_path, index=False)
             smiles = gen["smiles"].tolist()
+            # reference aggregation (psca_sampling.py:200-276):
+            # canonicalize once; unique over valid, novelty over the
+            # unique set, intDiv over VALID (the reference's psca
+            # choice — p_sampling uses unique)
+            canon = canonicalize_all(smiles, args.n_jobs)
+            valid_smis = [c for c in canon if c is not None]
+            uniq = list(dict.fromkeys(valid_smis))
+            n_valid = len(valid_smis)
             row = {"scaffold": sca, "logP": combo[0], "tPSA": combo[1],
                    "QED": combo[2],
-                   "valid": fraction_valid(smiles, args.n_jobs),
-                   "unique": fraction_unique(smiles, None, args.n_jobs)}
-            sm = scaffold_metrics(smiles, sca, args.n_jobs)
+                   "valid": n_valid / max(1, len(smiles)),
+                   "unique": len(uniq) / max(1, n_valid),
+                   "intDiv": internal_diversity(valid_smis, args.n_jobs)}
+            if train is not None:
+                tset = train if isinstance(train, set) else set(train)
+                row["novel"] = (sum(1 for u in uniq if u not in tset)
+                                / max(1, len(uniq)))
+            sm, scas, _sims = scaffold_metrics(
+                valid_smis, sca, args.n_jobs, canonical=True,
+                n_total=len(smiles), return_details=True)
+            # psca's own in-tolerance is JOINT (scaffold AND props,
+            # psca_sampling.py:267-276) — computed below; drop the
+            # scaffold-only variants scaffold_metrics returns
+            sm = {k: v for k, v in sm.items()
+                  if not k.endswith("_in_tolerance")}
             row.update(sm)
             # molgpt validity: valid AND scaffold-sim >= 0.8
             row["valid_molgpt"] = row["valid"] * sm["sim80"]
@@ -63,11 +83,25 @@ def psca_sampling(args, scaffold_source: Sequence[str], log=None
 
             from gctplus_tpu.chem.descriptors import props_row
 
-            vals = [v for v in pmap(partial(props_row, props=props),
-                                    smiles, args.n_jobs) if v is not None]
-            if vals:
+            vals = pmap(partial(props_row, props=props), valid_smis,
+                        args.n_jobs)
+            keep = [(s, sc, v) for s, sc, v in
+                    zip(valid_smis, scas, vals) if v is not None]
+            if keep:
+                arr = np.asarray([v for _, _, v in keep])
                 row.update(property_error_stats(
-                    np.asarray(vals), np.asarray(combo)[None, :], props))
+                    arr, np.asarray(combo)[None, :], props))
+                # joint tolerance: scaffold match AND every property
+                # inside its tolerance box; denominator n_samples
+                good = np.asarray([sc == sca for _, sc, _ in keep])
+                for j, p in enumerate(props):
+                    good &= np.abs(arr[:, j] - combo[j]) <= \
+                        PROP_TOLERANCES.get(p, np.inf)
+                row["valid_in_tolerance"] = \
+                    float(good.sum()) / max(1, len(smiles))
+                row["unique_in_tolerance"] = len(
+                    {s for (s, _, _), ok in zip(keep, good) if ok}
+                ) / max(1, len(smiles))
             rows.append(row)
         log.info(f"scaffold {si+1}/{len(scaffolds)} done")
 

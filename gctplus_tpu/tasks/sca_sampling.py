@@ -15,10 +15,8 @@ import numpy as np
 import pandas as pd
 
 from gctplus_tpu.eval.metrics import (
-    fraction_unique,
-    fraction_valid,
+    canonicalize_all,
     internal_diversity,
-    novelty,
     scaffold_metrics,
 )
 from gctplus_tpu.tasks.common import build_sampler
@@ -27,7 +25,8 @@ from gctplus_tpu.utils import get_logger
 
 def select_scaffolds(scaffold_source: Sequence[str], n_scaffolds: int,
                      seed: int = 0) -> List[str]:
-    """Dedup + frequency-weighted sample (sca_sampling.py:20-31)."""
+    """Dedup then UNIFORM sample over unique scaffolds (reference
+    get_sample, sca_sampling.py:20-31: drop_duplicates + .sample)."""
     counts = Counter(s for s in scaffold_source if isinstance(s, str) and s)
     uniq = list(counts)
     rng = np.random.default_rng(seed)
@@ -57,16 +56,24 @@ def sca_sampling(args, scaffold_source: Sequence[str], train=None,
             gen = pd.DataFrame({"smiles": smiles, "scaffold": sca})
             gen.to_csv(gen_path, index=False)
         smiles = gen["smiles"].tolist()
+        # reference aggregation (sca_sampling.py:196-234): canonicalize
+        # ONCE; unique over valid, novelty/intDiv over the unique set
+        canon = canonicalize_all(smiles, args.n_jobs)
+        valid = [c for c in canon if c is not None]
+        uniq = list(dict.fromkeys(valid))
         row = {"scaffold": sca,
-               "valid": fraction_valid(smiles, args.n_jobs),
-               "unique": fraction_unique(smiles, None, args.n_jobs),
-               "intDiv": internal_diversity(smiles, args.n_jobs)}
+               "valid": len(valid) / max(1, len(smiles)),
+               "unique": len(uniq) / max(1, len(valid)),
+               "intDiv": internal_diversity(uniq, args.n_jobs)}
         if train is not None:
-            row["novel"] = novelty(smiles, train, args.n_jobs)
-        row.update(scaffold_metrics(smiles, sca, args.n_jobs))
+            tset = train if isinstance(train, set) else set(train)
+            row["novel"] = (sum(1 for u in uniq if u not in tset)
+                            / max(1, len(uniq)))
+        row.update(scaffold_metrics(valid, sca, args.n_jobs,
+                                    canonical=True, n_total=len(smiles)))
         rows.append(row)
         log.info(f"[{si+1}/{len(scaffolds)}] valid={row['valid']:.3f} "
-                 f"SSF={row['SSF']:.3f}")
+                 f"SSF={row['SSF']:.3f} sim80={row['sim80']:.3f}")
 
     out = pd.DataFrame(rows)
     out.to_csv(os.path.join(save_folder, "metric.csv"), index=False)

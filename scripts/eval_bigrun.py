@@ -1,11 +1,17 @@
-"""Headline evaluation for the MOSES-scale run: uc@30k for vaetf and
-the 27-combo x10k p-sampling protocol for pvaetf, against the 600k
-corpus — the reference's own benchmark protocols
-(Inference/uc_sampling.py:101-191, Inference/p_sampling.py:157-318).
+"""Headline evaluation for the MOSES-scale run: the reference's own
+benchmark protocols (Inference/uc_sampling.py:101-191,
+p_sampling.py:157-318, sca_sampling.py:137-260, psca_sampling.py:99-351).
 
 Usage:
-  python scripts/eval_bigrun.py uc     [workdir] [epoch] [n]
-  python scripts/eval_bigrun.py psamp  [workdir] [epoch] [n_per_combo]
+  python scripts/eval_bigrun.py uc    [workdir] [epoch] [n]
+  python scripts/eval_bigrun.py psamp [workdir] [epoch] [n_per_combo]
+  python scripts/eval_bigrun.py sca   [workdir] [epoch] [n_per_scaffold]
+                                      [n_scaffolds] [source]
+  python scripts/eval_bigrun.py psca  [workdir] [epoch] [n_per_cell]
+                                      [n_scaffolds] [source]
+
+source: 'train' (seen) or 'test_scaffolds' (unseen: test-set scaffolds
+absent from the train scaffold set — the MOSES test_scaffolds analog).
 """
 
 from __future__ import annotations
@@ -66,6 +72,38 @@ def main():
                         train_props=train_props)
         agg = df.mean(numeric_only=True).to_dict()
         print("PSAMP_MEAN " + json.dumps(
+            {k: round(float(v), 4) for k, v in agg.items()}), flush=True)
+    elif mode in ("sca", "psca"):
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else \
+            (2500 if mode == "sca" else 250)
+        n_sca = int(sys.argv[5]) if len(sys.argv) > 5 else \
+            (100 if mode == "sca" else 10)
+        source = sys.argv[6] if len(sys.argv) > 6 else "train"
+        raw_train = pd.read_csv(os.path.join(workdir, "raw", "train.csv"))
+        train_set = set(raw_train["smiles"].tolist())
+        if source == "train":
+            scaffold_source = raw_train["scaffold"].dropna().tolist()
+        elif source == "test_scaffolds":
+            raw_test = pd.read_csv(os.path.join(workdir, "raw", "test.csv"))
+            seen = set(raw_train["scaffold"].dropna())
+            scaffold_source = [s for s in raw_test["scaffold"].dropna()
+                               if s and s not in seen]
+        else:
+            raise SystemExit(f"unknown scaffold source {source}")
+        variant = "scavaetf" if mode == "sca" else "pscavaetf"
+        # scaffold decode shapes: prefix bucket + 80 new tokens
+        a = _args(workdir, variant, epoch, n_scaffolds=n_sca, n_samples=n,
+                  use_scaffold=True,
+                  save_folder=os.path.join(
+                      workdir, f"results_{variant}_{epoch}_{source}"))
+        if mode == "sca":
+            from gctplus_tpu.tasks.sca_sampling import sca_sampling
+            df = sca_sampling(a, scaffold_source, train=train_set)
+        else:
+            from gctplus_tpu.tasks.psca_sampling import psca_sampling
+            df = psca_sampling(a, scaffold_source, train=train_set)
+        agg = df.mean(numeric_only=True).to_dict()
+        print(f"{mode.upper()}_MEAN [{source}] " + json.dumps(
             {k: round(float(v), 4) for k, v in agg.items()}), flush=True)
     else:
         raise SystemExit(f"unknown mode {mode}")

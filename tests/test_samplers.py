@@ -111,7 +111,10 @@ def test_metrics_on_fixed_strings():
     # OCC == CCO canonically -> 3 unique among 5 valid
     assert fraction_unique(gen) == pytest.approx(3 / 5)
     nov = novelty(gen, ["CCO"], train_is_canonical=False)
-    assert nov == pytest.approx(2 / 5)  # CCO x3 seen, benzene+CCN novel
+    # moses semantics: |unique - train| / |unique| over the UNIQUE
+    # canonical set {CCO, benzene, CCN} -> 2/3 novel
+    # (also Inference/sca_sampling.py:228)
+    assert nov == pytest.approx(2 / 3)
     d = internal_diversity(["CCO", "c1ccccc1", "CCN"])
     assert 0.0 < d < 1.0
     m = get_all_metrics(gen, train=["CCO"], test=["CCN", "c1ccccc1"])
