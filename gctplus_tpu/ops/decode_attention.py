@@ -7,18 +7,12 @@ trace parsed in EVIDENCE.md): the XLA decode step at flagship shape
 whose minor dim pads 64 -> 128 lanes (bf16 tile is (16,128)), so every
 cache touch moves 2x the bytes, plus per-op copy/slice overhead.
 
-Fix (measured 3.89 -> 2.26 ms/step at the flagship shape, EVIDENCE.md):
+Design (round 2, measured 3.89 -> 2.26 ms/step at the flagship shape):
 
 - KV caches are stored PACKED and T-MAJOR: (T, bs, D=h*dk). The lane
   dim is the full 512-wide D (tile-exact), and the per-step row
   update at a traced position is a contiguous (bs, D) slab
-  dynamic-update-slice done in XLA before the kernel call (T is the
-  untiled major axis, so the slab write is cheap and aliases inside
-  the sampling while_loop).
-- `self_attention_step` / `cross_attention_step` are read-only fused
-  kernels (mask -> scores -> softmax -> context), auto-blocked over
-  the batch so the Pallas runtime double-buffers the HBM->VMEM cache
-  streams across grid cells.
+  dynamic-update-slice done in XLA before the kernel call.
 - All heads are computed at once inside the kernel: the q*k product
   runs at full 512-lane width and the per-head reductions use
   (.., D) @ (D, h) one-hot segment matmuls on the MXU. (Per-head
@@ -26,11 +20,27 @@ Fix (measured 3.89 -> 2.26 ms/step at the flagship shape, EVIDENCE.md):
   (.., h, dk) shape cast nor batched 3-D dot_generals — both were
   tried and measured slower or failed to lower.)
 
+Round 3: the decode step is HBM-BOUND — at the flagship shape the
+self caches + cross memory K/V total ~1 GB of reads per emitted token,
+~1.3 ms at v5e bandwidth, which is most of the measured 2.26 ms. Both
+kernels are therefore STREAMING (flash-style online softmax) over
+T-chunks, with the chunk index CLAMPED via scalar prefetch:
+
+- self-attention reads only cache rows <= pos (the average over a
+  79-token decode is ~half the cache);
+- cross-attention reads only memory rows < max(lengths) of each batch
+  block (SMILES toklen averages ~35 of the 80-row memory).
+
+Chunks past the clamp re-map to the last needed block index; the
+Pallas pipeline emitter skips the DMA when consecutive grid steps
+map to the same block, and @pl.when skips their compute — so the
+clamped tail costs neither bandwidth nor FLOPs.
+
 Math parity with models/layers.py::scaled_dot_attention: scores/sqrt(dk),
--1e9 mask fill, f32 softmax/accumulation, weights cast to the compute
-dtype before the PV product. Everything else of the decoder step
-(projections, FFN, norms) stays in XLA where the MXU already serves
-it well.
+-1e9 mask fill, f32 online softmax/accumulation, weights cast to the
+compute dtype before the PV product. Everything else of the decoder
+step (projections, FFN, norms) stays in XLA where the MXU already
+serves it well.
 
 Reference hot loop being replaced at the system level:
 Inference/sampling_tool.py:140-184 (full-decoder re-run per token).
@@ -60,70 +70,6 @@ def _segment_matrices(D: int, heads: int, dtype):
     return seg, jnp.transpose(seg, (1, 0))
 
 
-def _heads_attend(q, k, v, valid3, heads: int, scale: float):
-    """B-major: q (B, D) f32, k/v (B, T, D); valid3 (B, T, 1) bool.
-    Returns (B, D) context in v.dtype.
-
-    All heads at once: the elementwise q*k product runs at full
-    512-lane width (a per-head 64-lane slice wastes half the VPU), and
-    the per-head reductions are (.., D) @ (D, h) one-hot matmuls on
-    the MXU. f32 accumulation throughout; softmax weights are cast to
-    the compute dtype before the PV product — same semantics as the
-    XLA path (models/layers.py::scaled_dot_attention)."""
-    B, T, D = k.shape
-    seg, segT = _segment_matrices(D, heads, k.dtype)
-    prod = k * jnp.expand_dims(q.astype(k.dtype), 1)     # (B, T, D)
-    s = jnp.dot(prod.reshape(B * T, D), seg,
-                preferred_element_type=jnp.float32)
-    s = s.reshape(B, T, heads) * scale                   # (B, T, h)
-    s = jnp.where(valid3, s, MASK_FILL)
-    s = s - jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=1, keepdims=True)            # softmax over T
-    pf = jnp.dot(p.reshape(B * T, heads).astype(v.dtype), segT,
-                 preferred_element_type=jnp.float32)
-    pf = pf.reshape(B, T, D).astype(v.dtype)             # (B, T, D)
-    ctx = jnp.sum(pf * v, axis=1, dtype=jnp.float32)     # (B, D)
-    return ctx.astype(v.dtype)
-
-
-def _self_read_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
-                      *, heads: int):
-    """Read-only fused self-attention over the already-updated T-major
-    cache block (T, B, D). Auto-blocked inputs give double-buffered
-    HBM->VMEM pipelining across grid cells; the row update itself is a
-    contiguous (bs, D) slab DUS done in XLA before the call."""
-    pos = pos_ref[0, 0]
-    T, B, D = k_ref.shape
-    q = q_ref[0].astype(jnp.float32)                   # (B, D)
-    t3 = jax.lax.broadcasted_iota(jnp.int32, (T, B, 1), 0)
-    valid3 = t3 <= pos
-    scale = 1.0 / math.sqrt(D // heads)
-    ctx = _heads_attend_major(q, k_ref[:], v_ref[:], valid3, heads,
-                              scale)
-    o_ref[0] = ctx.astype(o_ref.dtype)
-
-
-def _heads_attend_major(q, k, v, valid3, heads: int, scale: float):
-    """T-major variant: q (B, D) f32, k/v (T, B, D),
-    valid3 (T, B, 1) bool. Returns (B, D) context in v.dtype."""
-    T, B, D = k.shape
-    seg, segT = _segment_matrices(D, heads, k.dtype)
-    prod = k * jnp.expand_dims(q.astype(k.dtype), 0)     # (T, B, D)
-    s = jnp.dot(prod.reshape(T * B, D), seg,
-                preferred_element_type=jnp.float32)
-    s = s.reshape(T, B, heads) * scale                   # (T, B, h)
-    s = jnp.where(valid3, s, MASK_FILL)
-    s = s - jnp.max(s, axis=0, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=0, keepdims=True)            # softmax over T
-    pf = jnp.dot(p.reshape(T * B, heads).astype(v.dtype), segT,
-                 preferred_element_type=jnp.float32)
-    pf = pf.reshape(T, B, D).astype(v.dtype)             # (T, B, D)
-    ctx = jnp.sum(pf * v, axis=0, dtype=jnp.float32)     # (B, D)
-    return ctx.astype(v.dtype)
-
-
 def _safe_block(bs: int, want: int) -> int:
     """Largest divisor of bs that is <= want — direct calls with any
     batch size get a working grid instead of an assert (block_b is a
@@ -132,6 +78,94 @@ def _safe_block(bs: int, want: int) -> int:
     while bs % b:
         b -= 1
     return b
+
+
+def _blk_t(T: int, want: int = 12, multiple_of: int = 1) -> int:
+    """KV stream chunk: largest divisor of T that is <= want (clamp
+    granularity ~want rows). multiple_of=8 for chunks that land on a
+    TPU sublane dim (Mosaic requires the last two block dims divisible
+    by (8, 128) or equal to the array dim). Falls back to a single
+    full-T block when no admissible divisor exists — the streaming
+    kernel then degenerates to one pass."""
+    best = 0
+    for d in range(multiple_of, min(want, T) + 1, multiple_of):
+        if T % d == 0:
+            best = d
+    return best if best > 1 else T
+
+
+def _flash_update(s, v_blk, m_ref, l_ref, acc_ref, reduce_axis: int,
+                  heads: int):
+    """One online-softmax accumulation step shared by both kernels.
+
+    s: masked f32 scores with `heads` minor; v_blk: value chunk with D
+    minor; reduce_axis: the T axis of s/v_blk. Scratch: m/l (B, h) f32
+    running max/denominator, acc (B, D) f32 running numerator."""
+    D = v_blk.shape[-1]
+    _, segT_f = _segment_matrices(D, heads, jnp.float32)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=reduce_axis))
+    alpha = jnp.exp(m_prev - m_new)                       # (B, h)
+    p = jnp.exp(s - jnp.expand_dims(m_new, reduce_axis))  # (.., T.., h)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=reduce_axis)
+    m_ref[:] = m_new
+    # weights cast to the compute dtype before PV (XLA-path parity)
+    _, segT_v = _segment_matrices(D, heads, v_blk.dtype)
+    flat = p.reshape(-1, heads).astype(v_blk.dtype)
+    pf = jnp.dot(flat, segT_v, preferred_element_type=jnp.float32)
+    pf = pf.reshape(v_blk.shape).astype(v_blk.dtype)
+    pv = jnp.sum(pf * v_blk, axis=reduce_axis, dtype=jnp.float32)
+    alphaD = jnp.dot(alpha, segT_f, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alphaD + pv
+
+
+def _flash_finalize(o_ref, l_ref, acc_ref, heads: int, t_major: bool):
+    D = acc_ref.shape[-1]
+    _, segT_f = _segment_matrices(D, heads, jnp.float32)
+    invl = 1.0 / l_ref[:]
+    invlD = jnp.dot(invl, segT_f, preferred_element_type=jnp.float32)
+    out = (acc_ref[:] * invlD).astype(o_ref.dtype)
+    if t_major:
+        o_ref[0] = out
+    else:
+        o_ref[:, 0, :] = out
+
+
+def _self_stream_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
+                        m_ref, l_ref, acc_ref, *, heads: int, blk_t: int):
+    """Streaming self-attention over position-limited T-major chunks.
+
+    k_ref/v_ref: (blk_t, block_b, D) chunk t of the packed cache (the
+    index map clamps t to the last chunk containing `pos`)."""
+    t = pl.program_id(1)
+    pos = pos_ref[0]
+    Tb, B, D = k_ref.shape
+    n_need = pos // blk_t + 1
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(t < n_need)
+    def _():
+        scale = 1.0 / math.sqrt(D // heads)
+        seg, _ = _segment_matrices(D, heads, k_ref.dtype)
+        q = q_ref[0].astype(k_ref.dtype)                  # (B, D)
+        prod = k_ref[:] * q[None]                         # (Tb, B, D)
+        s = jnp.dot(prod.reshape(Tb * B, D), seg,
+                    preferred_element_type=jnp.float32)
+        s = s.reshape(Tb, B, heads) * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tb, B, 1), 0) \
+            + t * blk_t
+        s = jnp.where(rows <= pos, s, MASK_FILL)
+        _flash_update(s, v_ref[:], m_ref, l_ref, acc_ref,
+                      reduce_axis=0, heads=heads)
+
+    @pl.when(t == n_need - 1)
+    def _():
+        _flash_finalize(o_ref, l_ref, acc_ref, heads, t_major=True)
 
 
 @functools.partial(jax.jit,
@@ -143,27 +177,35 @@ def self_attention_step(pos, q, k_cache, v_cache, heads: int,
     pos: () int32 current position. q: (bs, 1, D).
     k_cache/v_cache: (T, bs, D), row `pos` ALREADY holding the current
     token's K/V (the caller's dynamic_update_slice — a contiguous
-    (bs, D) slab on this layout). Returns ctx (bs, 1, D)."""
+    (bs, D) slab on this layout). Returns ctx (bs, 1, D).
+
+    Only cache chunks with rows <= pos are DMA'd (see module
+    docstring): the chunk index is clamped via scalar prefetch."""
     bs, _, D = q.shape
     T = k_cache.shape[0]
     block_b = _safe_block(bs, block_b)
-    grid = (bs // block_b,)
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    blk_t = _blk_t(T)
+    n_tb = T // blk_t
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     qT = jnp.transpose(q, (1, 0, 2))                   # (1, bs, D)
 
-    row = pl.BlockSpec((1, block_b, D), lambda i: (0, i, 0),
-                       memory_space=pltpu.VMEM)
-    cache = pl.BlockSpec((T, block_b, D), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_self_read_kernel, heads=heads),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # pos
-            row,                                        # q
-            cache, cache,                               # k_cache, v_cache
-        ],
+    row = pl.BlockSpec((1, block_b, D), lambda i, t, p_ref: (0, i, 0))
+    cache = pl.BlockSpec(
+        (blk_t, block_b, D),
+        lambda i, t, p_ref: (jnp.minimum(t, p_ref[0] // blk_t), i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bs // block_b, n_tb),
+        in_specs=[row, cache, cache],
         out_specs=row,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, heads), jnp.float32),  # m
+            pltpu.VMEM((block_b, heads), jnp.float32),  # l
+            pltpu.VMEM((block_b, D), jnp.float32),      # acc
+        ])
+    out = pl.pallas_call(
+        functools.partial(_self_stream_kernel, heads=heads, blk_t=blk_t),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, bs, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -172,15 +214,42 @@ def self_attention_step(pos, q, k_cache, v_cache, heads: int,
     return jnp.transpose(out, (1, 0, 2))
 
 
-def _cross_step_kernel(q_ref, k_ref, v_ref, len_ref, o_ref,
-                       *, heads: int):
-    B, T, D = k_ref.shape
-    q = q_ref[:, 0, :].astype(jnp.float32)
-    t3 = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
-    valid3 = t3 < jnp.expand_dims(len_ref[:], -1)       # (B, T, 1)
-    scale = 1.0 / math.sqrt(D // heads)
-    ctx = _heads_attend(q, k_ref[:], v_ref[:], valid3, heads, scale)
-    o_ref[:, 0, :] = ctx.astype(o_ref.dtype)
+def _cross_stream_kernel(nblk_ref, q_ref, k_ref, v_ref, len_ref, o_ref,
+                         m_ref, l_ref, acc_ref, *, heads: int, blk_t: int):
+    """Streaming cross-attention over length-limited B-major chunks.
+
+    k_ref/v_ref: (block_b, blk_t, D) chunk t of the packed memory (the
+    index map clamps t to this batch block's max length)."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    B, Tb, D = k_ref.shape
+    n_need = nblk_ref[i]
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, -1e30, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    @pl.when(t < n_need)
+    def _():
+        scale = 1.0 / math.sqrt(D // heads)
+        seg, _ = _segment_matrices(D, heads, k_ref.dtype)
+        q = q_ref[:, 0, :].astype(k_ref.dtype)            # (B, D)
+        prod = k_ref[:] * q[:, None, :]                   # (B, Tb, D)
+        s = jnp.dot(prod.reshape(B * Tb, D), seg,
+                    preferred_element_type=jnp.float32)
+        s = s.reshape(B, Tb, heads) * scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, Tb, 1), 1) \
+            + t * blk_t
+        s = jnp.where(cols < jnp.expand_dims(len_ref[:], -1),
+                      s, MASK_FILL)
+        _flash_update(s, v_ref[:], m_ref, l_ref, acc_ref,
+                      reduce_axis=1, heads=heads)
+
+    @pl.when(t == n_need - 1)
+    def _():
+        _flash_finalize(o_ref, l_ref, acc_ref, heads, t_major=False)
 
 
 @functools.partial(jax.jit,
@@ -191,30 +260,44 @@ def cross_attention_step(q, k_mem, v_mem, lengths, heads: int,
 
     q: (bs, 1, D); k_mem/v_mem: (bs, Tm, D) packed; lengths: (bs,)
     int32 — row r attends to memory positions < lengths[r] (the
-    reference's toklen-derived src_mask). Returns (bs, 1, D)."""
+    reference's toklen-derived src_mask). Returns (bs, 1, D).
+
+    Only memory chunks below each batch block's max length are DMA'd
+    (see module docstring)."""
     bs, _, D = q.shape
     Tm = k_mem.shape[1]
     block_b = _safe_block(bs, block_b)
-    grid = (bs // block_b,)
-    len2d = lengths.astype(jnp.int32).reshape(bs, 1)
+    # the chunk is the SECOND-TO-LAST dim of the (B, Tb, D) block ->
+    # must be a multiple of 8 (or the full Tm)
+    blk_t = _blk_t(Tm, want=16, multiple_of=8)
+    n_tb = Tm // blk_t
+    lengths = lengths.astype(jnp.int32)
+    len2d = lengths.reshape(bs, 1)
+    # per-batch-block chunk budget: ceil(max(lengths in block)/blk_t)
+    nblk = jnp.maximum(
+        1, (jnp.max(lengths.reshape(bs // block_b, block_b), axis=1)
+            + blk_t - 1) // blk_t)
 
+    row = pl.BlockSpec((block_b, 1, D), lambda i, t, n_ref: (i, 0, 0))
+    mem = pl.BlockSpec(
+        (block_b, blk_t, D),
+        lambda i, t, n_ref: (i, jnp.minimum(t, n_ref[i] - 1), 0))
+    lspec = pl.BlockSpec((block_b, 1), lambda i, t, n_ref: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bs // block_b, n_tb),
+        in_specs=[row, mem, mem, lspec],
+        out_specs=row,
+        scratch_shapes=[
+            pltpu.VMEM((block_b, heads), jnp.float32),  # m
+            pltpu.VMEM((block_b, heads), jnp.float32),  # l
+            pltpu.VMEM((block_b, D), jnp.float32),      # acc
+        ])
     return pl.pallas_call(
-        functools.partial(_cross_step_kernel, heads=heads),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, 1, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, Tm, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, Tm, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_b, 1, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        functools.partial(_cross_stream_kernel, heads=heads, blk_t=blk_t),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bs, 1, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q, k_mem, v_mem, len2d)
+    )(nblk, q, k_mem, v_mem, len2d)
