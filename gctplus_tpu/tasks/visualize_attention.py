@@ -1,8 +1,10 @@
-"""Attention-map dump + heatmaps (reference
-Inference/visualize_attention.py:126-186): run encoder/decoder with
-attention capture on one molecule, save .npy tensors and per-head
-heatmap PNGs (matplotlib; the reference's bertviz HTML depends on a
-browser widget stack and is out of scope)."""
+"""Attention-map dump + heatmaps + interactive HTML view (reference
+Inference/visualize_attention.py:18-186): run encoder/decoder with
+attention capture on one molecule, save .npy tensors, per-head heatmap
+PNGs, and a SELF-CONTAINED attention.html (the bertviz model_view
+analog, :75-110 — rebuilt dependency-free: layer/head selectable
+canvas heatmaps with token-pair hover readout, data embedded as
+JSON)."""
 
 from __future__ import annotations
 
@@ -47,7 +49,114 @@ def visualize_attention(args, smiles: str, scaffold: Optional[str] = None,
         np.save(os.path.join(save_folder, f"attn_{name}.npy"), arr)
         _plot_heatmaps(arr, toks, name, save_folder)
         log.info(f"{name}: {arr.shape} saved")
+    _write_html_view(arrays, toks, trg_tokens, save_folder)
+    log.info("attention.html saved")
     return arrays
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>attention view</title>
+<style>
+body {{ font-family: monospace; margin: 16px; }}
+select {{ margin-right: 10px; }}
+#info {{ margin-top: 8px; min-height: 1.2em; }}
+canvas {{ border: 1px solid #888; image-rendering: pixelated; }}
+.lbl {{ font-size: 11px; }}
+</style></head><body>
+<h3>gctplus-tpu attention view</h3>
+<div>
+  kind <select id="kind"></select>
+  layer <select id="layer"></select>
+  head <select id="head"></select>
+  <label><input type="checkbox" id="avg"> mean over heads</label>
+</div>
+<div id="info"></div>
+<canvas id="cv" width="640" height="640"></canvas>
+<script>
+const DATA = {data_json};
+const TOKENS = {tokens_json};
+const kindSel = document.getElementById('kind');
+const laySel = document.getElementById('layer');
+const headSel = document.getElementById('head');
+const avgBox = document.getElementById('avg');
+const info = document.getElementById('info');
+const cv = document.getElementById('cv');
+const ctx = cv.getContext('2d');
+for (const k of Object.keys(DATA)) kindSel.add(new Option(k, k));
+function fill(sel, n, pfx) {{
+  sel.innerHTML = '';
+  for (let i = 0; i < n; i++) sel.add(new Option(pfx + i, i));
+}}
+function cur() {{
+  const k = kindSel.value;
+  const arr = DATA[k];
+  return {{k: k, arr: arr, L: arr.length, H: arr[0].length}};
+}}
+function grid() {{
+  const c = cur();
+  fill(laySel, c.L, 'L');
+  fill(headSel, c.H, 'h');
+}}
+function draw() {{
+  const c = cur();
+  const li = +laySel.value || 0, hi = +headSel.value || 0;
+  let m = c.arr[Math.min(li, c.L-1)][Math.min(hi, c.H-1)];
+  if (avgBox.checked) {{
+    const hs = c.arr[Math.min(li, c.L-1)];
+    m = hs[0].map((row, i) => row.map((_, j) =>
+      hs.reduce((s, h) => s + h[i][j], 0) / hs.length));
+  }}
+  const R = m.length, C = m[0].length;
+  const s = Math.max(1, Math.floor(640 / Math.max(R, C)));
+  cv.width = C * s; cv.height = R * s;
+  let mx = 0;
+  for (const row of m) for (const v of row) mx = Math.max(mx, v);
+  for (let i = 0; i < R; i++) for (let j = 0; j < C; j++) {{
+    const t = mx > 0 ? m[i][j] / mx : 0;
+    ctx.fillStyle = `rgb(${{Math.round(255*(1-t))}},` +
+      `${{Math.round(255*(1-0.55*t))}},255)`;
+    ctx.fillRect(j*s, i*s, s, s);
+  }}
+  cv.onmousemove = (e) => {{
+    const r = cv.getBoundingClientRect();
+    const j = Math.floor((e.clientX - r.left) / s);
+    const i = Math.floor((e.clientY - r.top) / s);
+    if (i >= 0 && i < R && j >= 0 && j < C) {{
+      const qt = TOKENS[c.k].q[i] ?? i, kt = TOKENS[c.k].k[j] ?? j;
+      info.textContent = `q[${{i}}]=${{qt}}  k[${{j}}]=${{kt}}  ` +
+        `w=${{m[i][j].toFixed(4)}}`;
+    }}
+  }};
+}}
+kindSel.onchange = () => {{ grid(); draw(); }};
+laySel.onchange = draw; headSel.onchange = draw; avgBox.onchange = draw;
+grid(); draw();
+</script></body></html>
+"""
+
+
+def _write_html_view(arrays, src_tokens, trg_tokens, folder: str) -> None:
+    """Self-contained interactive HTML (reference bertviz model_view,
+    visualize_attention.py:75-110, minus the widget-stack dependency).
+    arrays: name -> (layers, 1, heads, Lq, Lk)."""
+    import json
+
+    data = {name: np.round(arr[:, 0], 5).tolist()
+            for name, arr in arrays.items()}
+    dec_in = list(trg_tokens[:-1])
+    tokens = {
+        "encoder": {"q": list(src_tokens), "k": list(src_tokens)},
+        "decoder_self": {"q": dec_in, "k": dec_in},
+        # cross keys attend over the latent memory (positions)
+        "decoder_cross": {
+            "q": dec_in,
+            "k": [f"z{i}" for i in range(
+                arrays["decoder_cross"].shape[-1])]},
+    }
+    html = _HTML_TEMPLATE.format(data_json=json.dumps(data),
+                                 tokens_json=json.dumps(tokens))
+    with open(os.path.join(folder, "attention.html"), "w") as f:
+        f.write(html)
 
 
 def _plot_heatmaps(arr: np.ndarray, tokens, name: str, folder: str):

@@ -126,6 +126,23 @@ def test_visualize_attention_task(tiny_setup):
     assert arrays["encoder"].shape[0] == 1  # N=1 layers
     assert (root / "results" / "visualize_attention" /
             "attn_encoder.npy").exists()
+    # self-contained bertviz-analog HTML view
+    html = (root / "results" / "visualize_attention" /
+            "attention.html").read_text()
+    assert "decoder_cross" in html and "<canvas" in html
+
+
+def test_latent_analysis_task(tiny_setup):
+    root, out, runs = tiny_setup
+    from gctplus_tpu.tasks.latent_analysis import latent_analysis
+    smis = out["frames"]["train"]["smiles"].tolist()[:24]
+    stats = latent_analysis(_args(root, runs, "vaetf", n_samples=24,
+                                  seed=0), smis)
+    assert "mu_std" in stats
+    folder = root / "results" / "latent_analysis"
+    assert (folder / "latent_pca.csv").exists()
+    # t-SNE projection (test_encoder.py:509-789 parity tail)
+    assert (folder / "latent_tsne.csv").exists()
 
 
 def test_kldiv_score():
