@@ -321,7 +321,21 @@ def _digit(d: int) -> str:
 
 def canonical_smiles(smiles: str) -> Optional[str]:
     """Parse+sanitize+canonical-write; None if invalid.
-    (reference get_canonical, Utils/smiles.py:47-65)"""
+    (reference get_canonical, Utils/smiles.py:47-65)
+
+    Fast path: the native kernel (native/chem.cpp, ~12x), an
+    equivalence-tested port of this module; falls back here for
+    oversized molecules or when no compiler is available."""
+    if isinstance(smiles, str):
+        from gctplus_tpu.native import CHEM_FALLBACK, native_canonical
+        out = native_canonical(smiles)
+        if out is not CHEM_FALLBACK:
+            return out
+    return canonical_smiles_python(smiles)
+
+
+def canonical_smiles_python(smiles: str) -> Optional[str]:
+    """The pure-Python path (also the native kernel's oracle)."""
     mol = mol_from_smiles(smiles)
     if mol is None:
         return None

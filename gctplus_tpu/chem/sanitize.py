@@ -204,4 +204,9 @@ def mol_from_smiles(smiles: str) -> Optional[Mol]:
 
 
 def is_valid_smiles(smiles: str) -> bool:
+    if isinstance(smiles, str):
+        from gctplus_tpu.native import CHEM_FALLBACK, native_is_valid
+        out = native_is_valid(smiles)
+        if out is not CHEM_FALLBACK:
+            return out
     return mol_from_smiles(smiles) is not None

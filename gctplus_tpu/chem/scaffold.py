@@ -70,7 +70,19 @@ def _subgraph(mol: Mol, keep: set) -> Mol:
 
 
 def murcko_scaffold(smiles: str) -> Optional[str]:
-    """SMILES -> scaffold SMILES ('' for acyclic, None if invalid)."""
+    """SMILES -> scaffold SMILES ('' for acyclic, None if invalid).
+
+    Fast path: native/chem.cpp (equivalence-tested port)."""
+    if isinstance(smiles, str):
+        from gctplus_tpu.native import CHEM_FALLBACK, native_murcko
+        out = native_murcko(smiles)
+        if out is not CHEM_FALLBACK:
+            return out
+    return murcko_scaffold_python(smiles)
+
+
+def murcko_scaffold_python(smiles: str) -> Optional[str]:
+    """The pure-Python path (also the native kernel's oracle)."""
     mol = mol_from_smiles(smiles)
     if mol is None:
         return None

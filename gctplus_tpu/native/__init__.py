@@ -1,7 +1,13 @@
-"""ctypes bindings for the native tokenizer/encoder.
+"""ctypes bindings for the native tokenizer/encoder and chemistry
+kernel.
 
-Builds libgcttok.so on first use (g++ -O3 -shared); falls back to the
-pure-Python tokenizer transparently when no compiler is available.
+Builds libgcttok.so / libgctchem.so on first use (g++ -O3 -shared);
+falls back to the pure-Python implementations transparently when no
+compiler is available. The chemistry kernel (chem.cpp) is an
+equivalence-tested port of chem/{smiles_parser,sanitize,canonical,
+scaffold}.py — byte-identical canonical strings (see
+tests/test_native_chem.py); set GCTPLUS_NO_NATIVE_CHEM=1 to force the
+Python path.
 """
 
 from __future__ import annotations
@@ -63,6 +69,98 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _load() is not None
+
+
+# --------------------------------------------------------------------
+# chemistry kernel (chem.cpp): canonical SMILES + Murcko scaffolds
+# --------------------------------------------------------------------
+
+_CHEM_SRC = os.path.join(_HERE, "chem.cpp")
+_CHEM_SO = os.path.join(_HERE, "libgctchem.so")
+_chem_lib = None
+_chem_failed = False
+
+# sentinel: the native kernel declined (molecule too large for its
+# fixed bitset) — caller must use the Python path
+CHEM_FALLBACK = object()
+
+
+def _load_chem() -> Optional[ctypes.CDLL]:
+    global _chem_lib, _chem_failed
+    with _lock:
+        if _chem_lib is not None:
+            return _chem_lib
+        if _chem_failed or os.environ.get("GCTPLUS_NO_NATIVE_CHEM"):
+            return None
+        if not os.path.exists(_CHEM_SO) or (
+                os.path.getmtime(_CHEM_SO) < os.path.getmtime(_CHEM_SRC)):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     _CHEM_SRC, "-o", _CHEM_SO],
+                    check=True, capture_output=True, timeout=300)
+            except Exception:
+                _chem_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_CHEM_SO)
+        except OSError:
+            _chem_failed = True
+            return None
+        for fn in ("gct_chem_canonical", "gct_chem_murcko"):
+            getattr(lib, fn).restype = ctypes.c_int
+            getattr(lib, fn).argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.gct_chem_is_valid.restype = ctypes.c_int
+        lib.gct_chem_is_valid.argtypes = [ctypes.c_char_p]
+        _chem_lib = lib
+        return _chem_lib
+
+
+def chem_native_available() -> bool:
+    return _load_chem() is not None
+
+
+_BUF_CAP = 8192
+
+
+def native_canonical(smiles: str):
+    """canonical SMILES | None (invalid) | CHEM_FALLBACK."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    buf = ctypes.create_string_buffer(_BUF_CAP)
+    rc = lib.gct_chem_canonical(smiles.encode(), buf, _BUF_CAP)
+    if rc == -1:
+        return None
+    if rc == -2:
+        return CHEM_FALLBACK
+    return buf.value.decode()
+
+
+def native_murcko(smiles: str):
+    """scaffold SMILES ('' acyclic) | None | CHEM_FALLBACK."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    buf = ctypes.create_string_buffer(_BUF_CAP)
+    rc = lib.gct_chem_murcko(smiles.encode(), buf, _BUF_CAP)
+    if rc == -1:
+        return None
+    if rc == -2:
+        return CHEM_FALLBACK
+    return buf.value.decode()
+
+
+def native_is_valid(smiles: str):
+    """True | False | CHEM_FALLBACK."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    rc = lib.gct_chem_is_valid(smiles.encode())
+    if rc == -2:
+        return CHEM_FALLBACK
+    return bool(rc)
 
 
 class NativeEncoder:

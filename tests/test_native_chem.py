@@ -1,0 +1,95 @@
+"""Native chemistry kernel (native/chem.cpp) equivalence tests.
+
+The C++ kernel must produce BYTE-IDENTICAL canonical strings / scaffold
+strings / validity verdicts to the Python substrate it ports —
+uniqueness, novelty and scaffold metrics depend on string identity.
+Skips gracefully when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gctplus_tpu.native import (
+    CHEM_FALLBACK,
+    chem_native_available,
+    native_canonical,
+    native_is_valid,
+    native_murcko,
+)
+
+pytestmark = pytest.mark.skipif(not chem_native_available(),
+                                reason="no native chem kernel")
+
+# hand-picked stress set: aromatics (input-kekule and aromatic forms),
+# fused systems, charges, brackets, ring closures >9, scaffolding
+# edge cases, invalids
+CASES = [
+    "CCO", "c1ccccc1", "C1=CC=CC=C1", "c1ccc2ccccc2c1",
+    "C1=CC2=CC=CC=C2C=C1", "c1cc[nH]c1", "c1ccoc1", "c1ccsc1",
+    "c1cnc[nH]1", "Cn1cnc2c1c(=O)n(C)c(=O)n2C",  # caffeine
+    "CC(=O)Oc1ccccc1C(=O)O",                      # aspirin
+    "[O-]C(=O)c1ccccc1", "[NH4+]", "[nH+]1ccccc1",
+    "C[C@H](N)C(=O)O", "C[C@@H](N)C(=O)O",        # stereo dropped
+    "F/C=C/F", "F/C=C\\F",
+    "C%10CCCCC%10", "C1CC2CCC1CC2",               # bicyclo
+    "O=C1CCCCC1", "O=S(=O)(N)c1ccccc1",
+    "c1ccc(-c2ccccc2)cc1",                        # biphenyl single bond
+    "C1CC1C2CC2", "CC.OC", "[13CH4]", "[2H]O[2H]",
+    "N#Cc1ccccc1", "CC(C)(C)c1ccccc1",
+    "c1ccc2[nH]ccc2c1", "O=c1cc[nH]c(=O)[nH]1",   # uracil
+    "S1C=CC=C1",                                   # thiophene kekule
+    "B1OC(C)(C)C(C)(C)O1",
+    "invalid", "C1CC", "c1ccccc", "C((C))", "[Xx]", "",
+    "CC(C)=CCCC(C)=CC=O",                          # acyclic scaffold ''
+]
+
+
+def test_native_matches_python_on_stress_cases():
+    from gctplus_tpu.chem.canonical import canonical_smiles_python
+    from gctplus_tpu.chem.sanitize import mol_from_smiles
+    from gctplus_tpu.chem.scaffold import murcko_scaffold_python
+
+    for s in CASES:
+        nat = native_canonical(s)
+        if nat is CHEM_FALLBACK:
+            continue
+        py = canonical_smiles_python(s)
+        assert nat == py, (s, nat, py)
+
+        natm = native_murcko(s)
+        if natm is not CHEM_FALLBACK:
+            pym = murcko_scaffold_python(s)
+            assert natm == pym, (s, natm, pym)
+
+        natv = native_is_valid(s)
+        if natv is not CHEM_FALLBACK:
+            assert natv == (mol_from_smiles(s) is not None), s
+
+
+def test_native_matches_python_on_generated_corpus():
+    """Round-trip over a synthetic drug-like corpus sample."""
+    import random
+
+    from gctplus_tpu.chem.canonical import canonical_smiles_python
+    from gctplus_tpu.chem.scaffold import murcko_scaffold_python
+    from gctplus_tpu.data.synthetic import random_druglike_smiles
+
+    rng = random.Random(11)
+    smis = [random_druglike_smiles(rng) for _ in range(150)]
+    assert smis
+    for s in smis:
+        nat = native_canonical(s)
+        if nat is CHEM_FALLBACK:
+            continue
+        assert nat == canonical_smiles_python(s), s
+        natm = native_murcko(s)
+        if natm is not CHEM_FALLBACK:
+            assert natm == murcko_scaffold_python(s), s
+
+
+def test_canonical_smiles_uses_native_and_agrees():
+    from gctplus_tpu.chem.canonical import (canonical_smiles,
+                                            canonical_smiles_python)
+    for s in ("c1ccccc1CCN", "C1=CC=CC=C1O", "CC(=O)Oc1ccccc1C(=O)O"):
+        assert canonical_smiles(s) == canonical_smiles_python(s)
