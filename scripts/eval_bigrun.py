@@ -73,6 +73,20 @@ def main():
         agg = df.mean(numeric_only=True).to_dict()
         print("PSAMP_MEAN " + json.dumps(
             {k: round(float(v), 4) for k, v in agg.items()}), flush=True)
+    elif mode == "msel":
+        # per-epoch GuacaMol KL score sweep (reference
+        # model_selection.py:121-158 picks epoch 37-38 for vaetf)
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else 3000
+        from gctplus_tpu.tasks.model_selection import model_selection
+        ref = pd.read_csv(os.path.join(workdir, "raw", "test.csv"))[
+            "smiles"].dropna().tolist()[:10000]
+        epoch_list = ([int(x) for x in sys.argv[5].split(",")]
+                      if len(sys.argv) > 5 else None)
+        a = _args(workdir, "vaetf", epoch, n_samples=n,
+                  save_folder=os.path.join(workdir, "results_msel"))
+        a.epoch_list = epoch_list
+        df = model_selection(a, ref)
+        print("MSEL " + df.to_json(orient="records"), flush=True)
     elif mode in ("sca", "psca"):
         n = int(sys.argv[4]) if len(sys.argv) > 4 else \
             (2500 if mode == "sca" else 250)
