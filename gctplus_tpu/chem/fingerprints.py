@@ -87,10 +87,29 @@ def path_fingerprint(mol: Mol, n_bits: int = 2048, max_len: int = 7) -> np.ndarr
 
 def smiles_to_morgan(smiles: str, n_bits: int = 1024,
                      radius: int = 2) -> Optional[np.ndarray]:
+    if isinstance(smiles, str):
+        from gctplus_tpu.native import CHEM_FALLBACK, native_morgan
+        out = native_morgan(smiles, n_bits, radius)
+        if out is not CHEM_FALLBACK:
+            return out
     mol = mol_from_smiles(smiles)
     if mol is None:
         return None
     return morgan_fingerprint(mol, n_bits, radius)
+
+
+def path_fingerprint_from_smiles(smiles: str, n_bits: int = 2048,
+                                 max_len: int = 7) -> Optional[np.ndarray]:
+    """Parse + path fingerprint (native fast path when available)."""
+    if isinstance(smiles, str):
+        from gctplus_tpu.native import CHEM_FALLBACK, native_pathfp
+        out = native_pathfp(smiles, n_bits, max_len)
+        if out is not CHEM_FALLBACK:
+            return out
+    mol = mol_from_smiles(smiles)
+    if mol is None:
+        return None
+    return path_fingerprint(mol, n_bits, max_len)
 
 
 def tanimoto(fp1: Optional[np.ndarray], fp2: Optional[np.ndarray]

@@ -105,16 +105,16 @@ def murcko_scaffold_similarity(smi1: str, smi2: str, n_bits: int = 2048):
     """Tanimoto between scaffold fingerprints (reference
     Utils/smiles.py:147-158 uses path-based FingerprintMol; we use the
     in-repo path fingerprint)."""
-    from gctplus_tpu.chem.fingerprints import path_fingerprint, tanimoto
+    from gctplus_tpu.chem.fingerprints import (
+        path_fingerprint_from_smiles, tanimoto)
 
     s1, s2 = murcko_scaffold(smi1), murcko_scaffold(smi2)
     if s1 is None or s2 is None:
         return None
-    m1, m2 = mol_from_smiles(s1), mol_from_smiles(s2)
-    if m1 is None or m2 is None:
-        if s1 == "" and s2 == "":
-            return 1.0
-        if s1 == "" or s2 == "":
-            return 0.0
+    if s1 == "" or s2 == "":
+        return 1.0 if s1 == s2 else 0.0
+    f1 = path_fingerprint_from_smiles(s1, n_bits)
+    f2 = path_fingerprint_from_smiles(s2, n_bits)
+    if f1 is None or f2 is None:
         return None
-    return tanimoto(path_fingerprint(m1, n_bits), path_fingerprint(m2, n_bits))
+    return tanimoto(f1, f2)

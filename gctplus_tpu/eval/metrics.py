@@ -165,8 +165,8 @@ def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
     only the valid subset. The target scaffold + every distinct
     generated scaffold is fingerprinted ONCE (the reference recomputes
     both sides per molecule)."""
-    from gctplus_tpu.chem.fingerprints import path_fingerprint, tanimoto
-    from gctplus_tpu.chem.sanitize import mol_from_smiles
+    from gctplus_tpu.chem.fingerprints import (
+        path_fingerprint_from_smiles, tanimoto)
 
     n_gen = n_total if n_total is not None else len(gen)
     if canonical:
@@ -179,8 +179,7 @@ def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
         return (zero, [], np.zeros(0)) if return_details else zero
 
     t_sca = murcko_scaffold(target_scaffold)
-    t_mol = mol_from_smiles(t_sca) if t_sca else None
-    t_fp = path_fingerprint(t_mol) if t_mol is not None else None
+    t_fp = path_fingerprint_from_smiles(t_sca) if t_sca else None
 
     scas = pmap(murcko_scaffold, valid, n_jobs)
     fp_cache: Dict[str, Optional[np.ndarray]] = {}
@@ -195,8 +194,7 @@ def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
         if t_fp is None:
             return None
         if s not in fp_cache:
-            m = mol_from_smiles(s)
-            fp_cache[s] = path_fingerprint(m) if m is not None else None
+            fp_cache[s] = path_fingerprint_from_smiles(s)
         fp = fp_cache[s]
         return tanimoto(fp, t_fp) if fp is not None else None
 

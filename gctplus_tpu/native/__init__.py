@@ -113,6 +113,11 @@ def _load_chem() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
         lib.gct_chem_is_valid.restype = ctypes.c_int
         lib.gct_chem_is_valid.argtypes = [ctypes.c_char_p]
+        for fn in ("gct_chem_morgan", "gct_chem_pathfp"):
+            getattr(lib, fn).restype = ctypes.c_int
+            getattr(lib, fn).argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int]
         _chem_lib = lib
         return _chem_lib
 
@@ -161,6 +166,34 @@ def native_is_valid(smiles: str):
     if rc == -2:
         return CHEM_FALLBACK
     return bool(rc)
+
+
+def native_morgan(smiles: str, n_bits: int = 1024, radius: int = 2):
+    """uint8 bit vector | None (invalid) | CHEM_FALLBACK."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    out = np.zeros(n_bits, np.uint8)
+    rc = lib.gct_chem_morgan(
+        smiles.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_bits, radius)
+    if rc == -2:
+        return CHEM_FALLBACK
+    return out if rc == 1 else None
+
+
+def native_pathfp(smiles: str, n_bits: int = 2048, max_len: int = 7):
+    """uint8 bit vector | None (invalid) | CHEM_FALLBACK."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    out = np.zeros(n_bits, np.uint8)
+    rc = lib.gct_chem_pathfp(
+        smiles.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_bits, max_len)
+    if rc == -2:
+        return CHEM_FALLBACK
+    return out if rc == 1 else None
 
 
 class NativeEncoder:

@@ -1198,6 +1198,264 @@ Mol subgraph(const Mol& mol, const std::set<int>& keep) {
 
 }  // namespace
 
+// ------------------------------------------------------- fingerprints
+// chem/fingerprints.py — bit-exact port. The Python hashes
+// blake2b(repr(data), digest_size=8) of small tuples; the repr strings
+// are reproduced byte-for-byte (value domain: element symbols, bools,
+// small ints, uint64 codes, bond orders {1.0,1.5,2.0,3.0,4.0}).
+
+// BLAKE2b (RFC 7693), digest_size=8, no key.
+namespace blake2 {
+const uint64_t IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+const uint8_t SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+inline uint64_t rotr64(uint64_t x, int n) {
+  return (x >> n) | (x << (64 - n));
+}
+
+inline void G(uint64_t* v, int a, int b, int c, int d, uint64_t x,
+              uint64_t y) {
+  v[a] = v[a] + v[b] + x;
+  v[d] = rotr64(v[d] ^ v[a], 32);
+  v[c] = v[c] + v[d];
+  v[b] = rotr64(v[b] ^ v[c], 24);
+  v[a] = v[a] + v[b] + y;
+  v[d] = rotr64(v[d] ^ v[a], 16);
+  v[c] = v[c] + v[d];
+  v[b] = rotr64(v[b] ^ v[c], 63);
+}
+
+inline void compress(uint64_t* h, const uint8_t* block, uint64_t t,
+                     bool last) {
+  uint64_t m[16], v[16];
+  for (int i = 0; i < 16; i++) {
+    uint64_t w = 0;
+    for (int j = 7; j >= 0; j--) w = (w << 8) | block[i * 8 + j];
+    m[i] = w;
+  }
+  for (int i = 0; i < 8; i++) v[i] = h[i];
+  for (int i = 0; i < 8; i++) v[8 + i] = IV[i];
+  v[12] ^= t;           // low counter
+  if (last) v[14] = ~v[14];
+  for (int r = 0; r < 12; r++) {
+    const uint8_t* s = SIGMA[r];
+    G(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+    G(v, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+    G(v, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+    G(v, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+    G(v, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+    G(v, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+    G(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+    G(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+  }
+  for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[8 + i];
+}
+
+// 8-byte digest as uint64 little-endian = h[0] (int.from_bytes(...,
+// 'little') in the Python)
+uint64_t hash8(const std::string& in) {
+  uint64_t h[8];
+  std::memcpy(h, IV, sizeof(h));
+  h[0] ^= 0x01010008ULL;  // digest_length=8, fanout=1, depth=1
+  size_t n = in.size(), off = 0;
+  uint8_t block[128];
+  // all full blocks except the last block (which may be full)
+  while (n - off > 128) {
+    std::memcpy(block, in.data() + off, 128);
+    off += 128;
+    compress(h, block, (uint64_t)off, false);
+  }
+  size_t rem = n - off;
+  std::memset(block, 0, 128);
+  if (rem) std::memcpy(block, in.data() + off, rem);
+  compress(h, block, (uint64_t)n, true);
+  return h[0];
+}
+}  // namespace blake2
+
+namespace {
+
+const char* order_repr(int order2) {
+  switch (order2) {
+    case 2: return "1.0";
+    case 3: return "1.5";
+    case 4: return "2.0";
+    case 6: return "3.0";
+    case 8: return "4.0";
+  }
+  return "1.0";
+}
+// the Python bond key is `1.5 if b.aromatic else b.order`
+const char* bond_repr(const Bond& b) {
+  return b.aromatic ? "1.5" : order_repr(b.order2);
+}
+double bond_val(const Bond& b) {
+  return b.aromatic ? 1.5 : b.order2 / 2.0;
+}
+
+// repr((symbol, charge, n_h, aromatic, degree, isotope))
+std::string atom_inv_repr(const Atom& a, int degree) {
+  std::string s = "('";
+  s += a.symbol;
+  s += "', ";
+  s += std::to_string(a.charge);
+  s += ", ";
+  s += std::to_string(a.n_h);
+  s += ", ";
+  s += a.aromatic ? "True" : "False";
+  s += ", ";
+  s += std::to_string(degree);
+  s += ", ";
+  s += std::to_string(a.isotope);
+  s += ")";
+  return s;
+}
+
+void morgan_bits(const Mol& mol, uint8_t* out, int n_bits, int radius) {
+  int n = mol.num_atoms();
+  std::memset(out, 0, n_bits);
+  std::vector<uint64_t> cur(n);
+  for (int i = 0; i < n; i++) {
+    cur[i] = blake2::hash8(
+        atom_inv_repr(mol.atoms[i], (int)mol.adj[i].size()));
+    out[cur[i] % n_bits] = 1;
+  }
+  std::vector<uint64_t> nxt(n);
+  for (int r = 0; r < radius; r++) {
+    for (int i = 0; i < n; i++) {
+      // env = sorted((bond_float, cur[other]) pairs)
+      std::vector<std::pair<double, uint64_t>> env;
+      for (int bi : mol.adj[i]) {
+        const Bond& b = mol.bonds[bi];
+        env.push_back({bond_val(b), cur[b.other(i)]});
+      }
+      std::sort(env.begin(), env.end());
+      // repr((cur_i, env_tuple))
+      std::string s = "(";
+      s += std::to_string(cur[i]);
+      s += ", (";
+      for (size_t k = 0; k < env.size(); k++) {
+        // find the bond repr for this sorted value: reconstruct from
+        // the double (restricted domain keeps this exact)
+        double o = env[k].first;
+        const char* orep = o == 1.0 ? "1.0" : o == 1.5 ? "1.5"
+                           : o == 2.0 ? "2.0" : o == 3.0 ? "3.0" : "4.0";
+        s += "(";
+        s += orep;
+        s += ", ";
+        s += std::to_string(env[k].second);
+        s += ")";
+        if (k + 1 < env.size()) s += ", ";
+      }
+      if (env.size() == 1) s += ",";
+      s += "))";
+      nxt[i] = blake2::hash8(s);
+      out[nxt[i] % n_bits] = 1;
+    }
+    cur = nxt;
+  }
+}
+
+// path fingerprint (fingerprints.py:52-85): all simple paths up to
+// max_len bonds, canonical direction = min(key, rkey) by Python tuple
+// comparison over alternating ('sym', arom) / (order,) elements.
+void path_bits(const Mol& mol, uint8_t* out, int n_bits, int max_len) {
+  std::memset(out, 0, n_bits);
+  int n = mol.num_atoms();
+  struct Frame {
+    int u;
+    std::vector<int> apath;
+    std::vector<int> bpath;  // bond indices
+  };
+  for (int start = 0; start < n; start++) {
+    std::vector<Frame> stack{{start, {start}, {}}};
+    while (!stack.empty()) {
+      Frame fr = std::move(stack.back());
+      stack.pop_back();
+      if (!fr.bpath.empty()) {
+        // forward vs reverse comparison, element-wise:
+        // position 2k  -> atom codes (symbol, aromatic)
+        // position 2k+1 -> bond order floats
+        size_t na = fr.apath.size();
+        bool rev_smaller = false;
+        for (size_t k = 0; k < 2 * na - 1; k++) {
+          int cmp = 0;
+          if (k % 2 == 0) {
+            const Atom& af = mol.atoms[fr.apath[k / 2]];
+            const Atom& ar = mol.atoms[fr.apath[na - 1 - k / 2]];
+            cmp = af.symbol.compare(ar.symbol);
+            if (cmp == 0)
+              cmp = (int)af.aromatic - (int)ar.aromatic;
+          } else {
+            double bf = bond_val(mol.bonds[fr.bpath[k / 2]]);
+            double br = bond_val(
+                mol.bonds[fr.bpath[fr.bpath.size() - 1 - k / 2]]);
+            cmp = bf < br ? -1 : bf > br ? 1 : 0;
+          }
+          if (cmp != 0) {
+            rev_smaller = cmp > 0;
+            break;
+          }
+        }
+        // build repr of the chosen direction
+        std::string s = "(";
+        for (size_t k = 0; k < 2 * na - 1; k++) {
+          if (k) s += ", ";
+          if (k % 2 == 0) {
+            size_t idx = rev_smaller ? na - 1 - k / 2 : k / 2;
+            const Atom& a = mol.atoms[fr.apath[idx]];
+            s += "('";
+            s += a.symbol;
+            s += "', ";
+            s += a.aromatic ? "True" : "False";
+            s += ")";
+          } else {
+            size_t idx = rev_smaller ? fr.bpath.size() - 1 - k / 2
+                                     : k / 2;
+            s += "(";
+            s += bond_repr(mol.bonds[fr.bpath[idx]]);
+            s += ",)";
+          }
+        }
+        s += ")";
+        out[blake2::hash8(s) % n_bits] = 1;
+      }
+      if ((int)fr.bpath.size() >= max_len) continue;
+      for (int bi : mol.adj[fr.u]) {
+        int v = mol.bonds[bi].other(fr.u);
+        bool seen = false;
+        for (int a : fr.apath)
+          if (a == v) { seen = true; break; }
+        if (seen) continue;
+        Frame nf;
+        nf.u = v;
+        nf.apath = fr.apath;
+        nf.apath.push_back(v);
+        nf.bpath = fr.bpath;
+        nf.bpath.push_back(bi);
+        stack.push_back(std::move(nf));
+      }
+    }
+  }
+}
+
+}  // namespace
+
 // -------------------------------------------------------------- C API
 
 extern "C" {
@@ -1253,6 +1511,34 @@ int gct_chem_murcko(const char* smiles, char* out, int out_cap) {
     return (int)s.size();
   } catch (...) {
     return -1;
+  }
+}
+
+// morgan / path fingerprints into a caller uint8 buffer of n_bits.
+// returns 1 ok, 0 invalid, -2 fall back to Python
+int gct_chem_morgan(const char* smiles, uint8_t* out, int n_bits,
+                    int radius) {
+  try {
+    Mol mol = parse_smiles(smiles ? smiles : "");
+    if ((int)mol.bonds.size() > 256 || mol.num_atoms() > 512) return -2;
+    sanitize(mol);
+    morgan_bits(mol, out, n_bits, radius);
+    return 1;
+  } catch (...) {
+    return 0;
+  }
+}
+
+int gct_chem_pathfp(const char* smiles, uint8_t* out, int n_bits,
+                    int max_len) {
+  try {
+    Mol mol = parse_smiles(smiles ? smiles : "");
+    if ((int)mol.bonds.size() > 256 || mol.num_atoms() > 512) return -2;
+    sanitize(mol);
+    path_bits(mol, out, n_bits, max_len);
+    return 1;
+  } catch (...) {
+    return 0;
   }
 }
 

@@ -88,6 +88,28 @@ def test_native_matches_python_on_generated_corpus():
             assert natm == murcko_scaffold_python(s), s
 
 
+def test_native_fingerprints_bit_exact():
+    import numpy as np
+
+    from gctplus_tpu.chem.fingerprints import (morgan_fingerprint,
+                                               path_fingerprint)
+    from gctplus_tpu.chem.sanitize import mol_from_smiles
+    from gctplus_tpu.native import native_morgan, native_pathfp
+
+    for s in CASES:
+        mol = mol_from_smiles(s)
+        nat = native_morgan(s)
+        if nat is CHEM_FALLBACK:
+            continue
+        if mol is None:
+            assert nat is None
+            continue
+        np.testing.assert_array_equal(nat, morgan_fingerprint(mol), s)
+        natp = native_pathfp(s)
+        if natp is not CHEM_FALLBACK:
+            np.testing.assert_array_equal(natp, path_fingerprint(mol), s)
+
+
 def test_canonical_smiles_uses_native_and_agrees():
     from gctplus_tpu.chem.canonical import (canonical_smiles,
                                             canonical_smiles_python)
