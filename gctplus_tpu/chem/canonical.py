@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Set, Tuple
 
 from gctplus_tpu.chem.mol import DEFAULT_VALENCES, Mol
-from gctplus_tpu.chem.sanitize import mol_from_smiles
+from gctplus_tpu.chem.sanitize import mol_from_smiles_python as mol_from_smiles
 
 _BOND_SYM = {1.0: "", 2.0: "=", 3.0: "#", 4.0: "$"}
 

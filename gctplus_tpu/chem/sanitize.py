@@ -196,7 +196,21 @@ def _kekulize(mol: Mol, pi_needed: Set[int]):
 
 def mol_from_smiles(smiles: str) -> Optional[Mol]:
     """Parse + sanitize; None on failure (reference get_mol semantics,
-    Utils/smiles.py:30-44)."""
+    Utils/smiles.py:30-44).
+
+    Fast path: parse+sanitize+ring-perception run in the native kernel
+    (native/chem.cpp) and the graph is rebuilt here — descriptor and
+    property sweeps were bounded by the Python parse."""
+    if isinstance(smiles, str):
+        from gctplus_tpu.native import CHEM_FALLBACK, native_parse_mol
+        out = native_parse_mol(smiles)
+        if out is not CHEM_FALLBACK:
+            return out
+    return mol_from_smiles_python(smiles)
+
+
+def mol_from_smiles_python(smiles: str) -> Optional[Mol]:
+    """The pure-Python path (also the native kernel's oracle)."""
     try:
         return sanitize(parse_smiles(smiles))
     except (SmilesError, SanitizeError, Exception):

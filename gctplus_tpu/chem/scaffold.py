@@ -13,7 +13,7 @@ from typing import Optional
 
 from gctplus_tpu.chem.mol import Mol
 from gctplus_tpu.chem.canonical import write_smiles
-from gctplus_tpu.chem.sanitize import mol_from_smiles
+from gctplus_tpu.chem.sanitize import mol_from_smiles_python as mol_from_smiles
 
 
 def _prune_to_scaffold_atoms(mol: Mol) -> Optional[set]:

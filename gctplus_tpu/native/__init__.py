@@ -118,6 +118,9 @@ def _load_chem() -> Optional[ctypes.CDLL]:
             getattr(lib, fn).argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int, ctypes.c_int]
+        lib.gct_chem_parse.restype = ctypes.c_int
+        lib.gct_chem_parse.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         _chem_lib = lib
         return _chem_lib
 
@@ -180,6 +183,63 @@ def native_morgan(smiles: str, n_bits: int = 1024, radius: int = 2):
     if rc == -2:
         return CHEM_FALLBACK
     return out if rc == 1 else None
+
+
+_CHIRAL = {0: None, 1: "@", 2: "@@"}
+_STEREO = {0: None, 1: "/", 2: "\\"}
+
+
+def native_parse_mol(smiles: str):
+    """Parse+sanitize in C++ and rebuild the Python Mol graph (the
+    dominant cost of descriptor/property sweeps is the Python parse).
+    Returns Mol | None (invalid) | CHEM_FALLBACK. The chiral suffix
+    strings (@TH1 etc.) collapse to '@'/'@@' — only truthiness is
+    consumed downstream (descriptors.py SAS stereo penalty)."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    buf = np.zeros(32768, np.int32)
+    rc = lib.gct_chem_parse(
+        smiles.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(buf))
+    if rc == -2:
+        return CHEM_FALLBACK
+    if rc == -1:
+        return None
+    from gctplus_tpu.chem.mol import Atom, Bond, Mol
+
+    n, m, n_rings, _ = int(buf[0]), int(buf[1]), int(buf[2]), int(buf[3])
+    p = 4
+    mol = Mol()
+    atoms = mol.atoms
+    adj = mol._adj
+    for i in range(n):
+        c1, c2, arom, charge, eh, iso, inb, n_h, deg, chi = \
+            buf[p: p + 10]
+        p += 10
+        sym = chr(c1) + (chr(c2) if c2 else "")
+        a = Atom(symbol=sym, aromatic=bool(arom), charge=int(charge),
+                 explicit_h=(None if eh == -1 else int(eh)),
+                 isotope=int(iso), chiral=_CHIRAL[int(chi)],
+                 in_bracket=bool(inb), idx=i, n_h=int(n_h),
+                 degree=int(deg))
+        atoms.append(a)
+        adj[i] = []
+    for bi in range(m):
+        a1, a2, order2, arom, stereo = buf[p: p + 5]
+        p += 5
+        mol.bonds.append(Bond(int(a1), int(a2), int(order2) / 2.0,
+                              bool(arom), _STEREO[int(stereo)]))
+        adj[int(a1)].append(bi)
+        adj[int(a2)].append(bi)
+    lens = [int(x) for x in buf[p: p + n_rings]]
+    p += n_rings
+    rings = []
+    for ln in lens:
+        rings.append([int(x) for x in buf[p: p + ln]])
+        p += ln
+    mol._ring_cache = rings
+    return mol
 
 
 def native_pathfp(smiles: str, n_bits: int = 2048, max_len: int = 7):

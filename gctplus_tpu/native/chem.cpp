@@ -47,6 +47,7 @@ struct Atom {
   bool in_bracket = false;
   int n_h = 0;
   int degree = 0;
+  int chiral = 0;       // 0 none, 1 '@', 2 '@@' (suffix dropped)
 };
 
 // order2 = 2*order: 2 single, 3 aromatic(parse), 4 double, 6 triple,
@@ -211,10 +212,14 @@ Atom parse_bracket(const std::string& body) {
   }
   atom.symbol = sym;
   atom.aromatic = aromatic;
-  // chiral: @{1,2}(TH\d|AL\d|SP\d|TB\d+|OH\d+)? — parsed and dropped
+  // chiral: @{1,2}(TH\d|AL\d|SP\d|TB\d+|OH\d+)? — suffix dropped
   if (i < n && body[i] == '@') {
     i++;
-    if (i < n && body[i] == '@') i++;
+    atom.chiral = 1;
+    if (i < n && body[i] == '@') {
+      i++;
+      atom.chiral = 2;
+    }
     if (i + 2 < n) {
       std::string tag = body.substr(i, 2);
       if (tag == "TH" || tag == "AL" || tag == "SP") {
@@ -1509,6 +1514,59 @@ int gct_chem_murcko(const char* smiles, char* out, int out_cap) {
     if ((int)s.size() + 1 > out_cap) return -2;
     std::memcpy(out, s.c_str(), s.size() + 1);
     return (int)s.size();
+  } catch (...) {
+    return -1;
+  }
+}
+
+// Parse+sanitize and EXPORT the molecular graph so the Python side
+// can run descriptor math on it without the (dominant) Python parse.
+// Layout (int32): [n_atoms, n_bonds, n_rings, ring_total,
+//   atoms: n_atoms x 10 (sym_c1, sym_c2|0, aromatic, charge,
+//          explicit_h(-1=None), isotope, in_bracket, n_h, degree,
+//          chiral),
+//   bonds: n_bonds x 5 (a1, a2, order2, aromatic, stereo),
+//   rings: n_rings lengths, then ring_total atom ids]
+// returns ints written, -1 invalid, -2 fall back / buffer too small.
+int gct_chem_parse(const char* smiles, int32_t* out, int cap) {
+  try {
+    Mol mol = parse_smiles(smiles ? smiles : "");
+    if ((int)mol.bonds.size() > 256 || mol.num_atoms() > 512) return -2;
+    sanitize(mol);
+    compute_rings(mol);  // descriptors consume ring_info()
+    int n = mol.num_atoms(), m = (int)mol.bonds.size();
+    int ring_total = 0;
+    for (auto& r : mol.rings) ring_total += (int)r.size();
+    int need = 4 + n * 10 + m * 5 + (int)mol.rings.size() + ring_total;
+    if (need > cap) return -2;
+    int32_t* p = out;
+    *p++ = n;
+    *p++ = m;
+    *p++ = (int)mol.rings.size();
+    *p++ = ring_total;
+    for (const Atom& a : mol.atoms) {
+      *p++ = (int32_t)a.symbol[0];
+      *p++ = a.symbol.size() > 1 ? (int32_t)a.symbol[1] : 0;
+      *p++ = a.aromatic ? 1 : 0;
+      *p++ = a.charge;
+      *p++ = a.in_bracket ? a.explicit_h : -1;
+      *p++ = a.isotope;
+      *p++ = a.in_bracket ? 1 : 0;
+      *p++ = a.n_h;
+      *p++ = a.degree;
+      *p++ = a.chiral;
+    }
+    for (const Bond& b : mol.bonds) {
+      *p++ = b.a1;
+      *p++ = b.a2;
+      *p++ = b.order2;
+      *p++ = b.aromatic ? 1 : 0;
+      *p++ = b.stereo;
+    }
+    for (auto& r : mol.rings) *p++ = (int32_t)r.size();
+    for (auto& r : mol.rings)
+      for (int a : r) *p++ = a;
+    return need;
   } catch (...) {
     return -1;
   }

@@ -19,6 +19,11 @@ timeout 7200 python scripts/eval_bigrun.py msel /root/repo/$W 40 3000 \
 echo "[chain-d] msel rc=$? ($(grep -o 'best epoch.*' $W/results_msel/model_selection/record.log 2>/dev/null | tail -1))" \
   | tee -a $W/chain_d.log
 
+timeout 7200 python scripts/eval_bigrun.py interp /root/repo/$W 40 30 \
+  > $W/eval_interp.out 2>&1
+echo "[chain-d] interp rc=$? ($(grep INTERP_MEAN $W/eval_interp.out | tail -1))" \
+  | tee -a $W/chain_d.log
+
 timeout 3600 python scripts/probe_decode_cost.py > $W/probe_decode_r3.out 2>&1
 echo "[chain-d] decode probe rc=$? ($(tail -1 $W/probe_decode_r3.out))" \
   | tee -a $W/chain_d.log

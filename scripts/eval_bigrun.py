@@ -73,6 +73,24 @@ def main():
         agg = df.mean(numeric_only=True).to_dict()
         print("PSAMP_MEAN " + json.dumps(
             {k: round(float(v), 4) for k, v in agg.items()}), flush=True)
+    elif mode == "interp":
+        # latent interpolation smoothness at the reference protocol
+        # shape (mol_interpolation.py:329-374; published smooth_start
+        # 0.777 / smooth_prev 0.706)
+        n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 30
+        from gctplus_tpu.tasks.mol_interpolation import mol_interpolation
+        test = pd.read_csv(os.path.join(workdir, "raw", "test.csv"))[
+            "smiles"].dropna().tolist()[:20000]
+        a = _args(workdir, "vaetf", epoch, n_pairs=n_pairs,
+                  n_interpolations=8, batch_size=1,
+                  save_folder=os.path.join(workdir,
+                                           f"results_interp_{epoch}"))
+        df = mol_interpolation(a, test)
+        print("INTERP_MEAN " + json.dumps({
+            "smooth_start": round(float(df["smooth_start"].mean()), 4),
+            "smooth_prev": round(float(df["smooth_prev"].mean()), 4),
+            "frac_decoded": round(float(df["frac_decoded"].mean()), 4),
+            "n_pairs": len(df)}), flush=True)
     elif mode == "msel":
         # per-epoch GuacaMol KL score sweep (reference
         # model_selection.py:121-158 picks epoch 37-38 for vaetf)

@@ -110,6 +110,31 @@ def test_native_fingerprints_bit_exact():
             np.testing.assert_array_equal(natp, path_fingerprint(mol), s)
 
 
+def test_native_parsed_mol_descriptor_equality():
+    """mol_from_smiles rebuilds the C++-parsed graph; every descriptor
+    must agree exactly with the pure-Python parse."""
+    import numpy as np
+
+    from gctplus_tpu.chem.descriptors import PROPERTY_FN
+    from gctplus_tpu.chem.sanitize import (mol_from_smiles,
+                                           mol_from_smiles_python)
+    from gctplus_tpu.native import native_parse_mol
+
+    for s in CASES:
+        mn = native_parse_mol(s)
+        if mn is CHEM_FALLBACK:
+            continue
+        mp = mol_from_smiles_python(s)
+        assert (mp is None) == (mn is None), s
+        if mp is None:
+            continue
+        for nm, fn in PROPERTY_FN.items():
+            a, b = fn(mp), fn(mn)
+            assert a == b or (np.isnan(a) and np.isnan(b)), (s, nm, a, b)
+    # the public entry routes through the native parse
+    assert mol_from_smiles("c1ccccc1O") is not None
+
+
 def test_canonical_smiles_uses_native_and_agrees():
     from gctplus_tpu.chem.canonical import (canonical_smiles,
                                             canonical_smiles_python)
