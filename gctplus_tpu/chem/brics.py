@@ -188,13 +188,20 @@ def brics_fragments(smiles: str) -> Optional[List[str]]:
             b = mol.bonds[bi]
             n_att[where[b.a1]] += 1
             n_att[where[b.a2]] += 1
+    from gctplus_tpu.chem.canonical import canonical_smiles
+
     keys: List[str] = []
     for ci, comp in enumerate(comps):
         sub = _subgraph(mol, comp)
         try:
-            raw = write_smiles(sub)
-            rt = mol_from_smiles(raw)
-            canon = write_smiles(rt) if rt is not None else raw
+            # write with identity ranks (cheap — skips the Python
+            # canonical ranking) and canonicalize the STRING via the
+            # (native-fast) round-trip; canonical output is
+            # input-order independent, so the key is unchanged
+            raw = write_smiles(sub, ranks=list(range(sub.num_atoms())))
+            canon = canonical_smiles(raw)
+            if canon is None:
+                canon = raw
         except Exception:
             continue
         keys.append(f"{canon}|{n_att[ci]}")
