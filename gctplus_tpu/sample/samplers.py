@@ -149,10 +149,16 @@ class BaseSampler:
     def encode_smiles(self, smiles_list: Sequence[str],
                       econds: Optional[np.ndarray] = None,
                       transform: bool = True,
-                      sample_eps: bool = False):
-        """Returns (z, mu, logvar) like reference encode_smiles."""
+                      sample_eps: bool = False,
+                      pad_to: Optional[int] = None):
+        """Returns (z, mu, logvar) like reference encode_smiles.
+
+        pad_to: fixed padded length (one XLA program across calls —
+        callers that slice mu/logvar to token lengths, e.g.
+        mol_interpolation, should pass max_strlen)."""
         ids = [self.src_vocab.encode(self.tokenizer(s)) for s in smiles_list]
-        L = _round_up(max(len(t) for t in ids), 8)
+        L = pad_to or _round_up(max(len(t) for t in ids), 8)
+        assert L >= max(len(t) for t in ids), "pad_to shorter than input"
         src = np.full((len(ids), L), self.src_vocab.pad_id, np.int32)
         for i, t in enumerate(ids):
             src[i, : len(t)] = t

@@ -76,42 +76,54 @@ def sample_molecular_pairs(smiles: Sequence[str], n_pairs: int,
     return pairs
 
 
+def _interpolate_z_pair(mu0, mu1, alpha, rng, interp_fn=slerp):
+    """Reference interpolate_z_pair (mol_interpolation.py:133-142):
+    token-wise Gaussian refit of BOTH latents to the FIRST molecule's
+    length (toklen = z1.size(0)), then per-ROW interpolation."""
+    L = mu0.shape[0]
+    a0 = approximate_z(mu0, L, rng)
+    a1 = approximate_z(mu1, L, rng)
+    out = np.empty((L, mu0.shape[-1]))
+    for i in range(L):
+        out[i] = interp_fn(a0[i], a1[i], alpha)
+    return out
+
+
 def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
                      interp_fn=slerp, max_retry: int = 40,
-                     std_step: float = 0.005) -> List[Optional[str]]:
+                     std_step: float = 0.005,
+                     lat_bucket: int = 80) -> List[Optional[str]]:
     """Decode molecules along the latent path; growing-noise retry
-    (mol_interpolation.py:213-259). Returns one SMILES (or None) per
-    alpha in linspace(0,1,n_interp+2)."""
-    # pad both to a common length so mu/logvar shapes line up
+    (mol_interpolation.py:200-259). Returns [s0, interior..., s1] —
+    the endpoints are the INPUT molecules (alpha 0/1 skipped,
+    :203-204, :258).
+
+    Reference-exact structure: the Gaussian refit + per-row
+    interpolation is REDRAWN on every retry (the reference's while
+    loop re-calls interpolate_z_pair, :212-217), eps ~ N(0, std) with
+    std growing 0.005 every second failed try (:245-250), abort at
+    std >= 1.0. Latents are padded to a fixed `lat_bucket` for the
+    decode (one XLA program; rows beyond toklen are masked out)."""
     t0 = sampler.tokenizer(s0)
     t1 = sampler.tokenizer(s1)
-    L = max(len(t0), len(t1))
-    # encode together with shared padding
-    _, mu, logvar = sampler.encode_smiles([s0, s1])
-    mu0, mu1 = mu[0], mu[1]
-    lv0, lv1 = logvar[0], logvar[1]
+    L = len(t0)  # reference toklen = z1.size(0) — the FIRST molecule
+    _, mu, logvar = sampler.encode_smiles([s0, s1], pad_to=lat_bucket)
+    mu0, mu1 = mu[0][: len(t0)], mu[1][: len(t1)]
+    lv0, lv1 = logvar[0][: len(t0)], logvar[1][: len(t1)]
     rng = sampler.rng
-    if len(t0) != len(t1):
-        # length-mismatched pair: token-wise Gaussian refit of each
-        # latent to the common length (reference interpolate_z_pair,
-        # mol_interpolation.py:124-142) instead of trusting pad rows
-        mu0 = approximate_z(mu0[: len(t0)], L, rng)
-        mu1 = approximate_z(mu1[: len(t1)], L, rng)
-        lv0 = approximate_z(lv0[: len(t0)], L, rng)
-        lv1 = approximate_z(lv1[: len(t1)], L, rng)
 
-    # interior alphas only: the endpoints of the returned path are the
-    # INPUT molecules themselves, not decodes of their latents
-    # (mol_interpolation.py:203-204 `if alpha == 0 or alpha == 1:
-    # continue` and :258 `gen_smi = [src0] + gen_smi + [src1]`)
     out: List[Optional[str]] = [s0]
+    d = mu0.shape[-1]
     for alpha in np.linspace(0.0, 1.0, n_interp + 2)[1:-1]:
-        mu_a = interp_fn(mu0, mu1, float(alpha))
-        lv_a = interp_fn(lv0, lv1, float(alpha))
         smi, std = None, 0.0
         for attempt in range(max_retry):
+            mu_a = _interpolate_z_pair(mu0, mu1, float(alpha), rng,
+                                       interp_fn)
+            lv_a = _interpolate_z_pair(lv0, lv1, float(alpha), rng,
+                                       interp_fn)
             eps = rng.standard_normal(mu_a.shape) * std
-            z = (mu_a + eps * np.exp(0.5 * lv_a))[None]
+            z = np.zeros((1, lat_bucket, d), np.float32)
+            z[0, :L] = mu_a + eps * np.exp(0.5 * lv_a)
             cand = sampler.decode_z(z, toklen=np.array([L]))[0]
             if cand and is_valid_smiles(cand):
                 smi = cand
