@@ -151,6 +151,14 @@ def main():
     from gctplus_tpu.train.trainer import (HISTORY_KEYS, TrainState,
                                            make_history_train_step)
 
+    # the production training recipe uses the rbg PRNG on TPU
+    # (train_task auto-default; threefry costs ~26% of the step —
+    # scripts/probe_rng_cost.py)
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+
     tcfg = ModelConfig(src_vocab=40, trg_vocab=44, N=6, d_model=512,
                        d_ff=2048, heads=8, latent_dim=128, dropout=0.1,
                        nconds=0, dtype=jnp.bfloat16)
@@ -163,7 +171,10 @@ def main():
 
     T_TRG = MAX_STRLEN + 2
     n_steps = 6
-    subs = np.asarray(jax.random.split(key, n_steps + 1))
+    # fresh key AFTER the impl switch (keys carry their generator; a
+    # threefry key would silently keep threefry dropout in the step)
+    subs = np.asarray(jax.random.split(jax.random.PRNGKey(1),
+                                       n_steps + 1))
     hist = {k: jnp.zeros(n_steps + 1, jnp.float32) for k in HISTORY_KEYS}
 
     def tbatch(i):

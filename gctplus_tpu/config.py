@@ -92,6 +92,10 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-lr_beta2", type=float, default=0.98)
     parser.add_argument("-lr_eps", type=float, default=1e-9)
     # TPU-native knobs (no reference counterpart)
+    parser.add_argument("-prng_impl", type=str, default=None,
+                        help="dropout/latent PRNG: None = auto (rbg on "
+                             "TPU, ~26%% faster step; threefry "
+                             "elsewhere); or threefry2x32 / rbg")
     parser.add_argument("-n_data_shards", type=int, default=None,
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("-n_model_shards", type=int, default=1)

@@ -71,6 +71,17 @@ def train_task(args) -> None:
                          getattr(args, "num_processes", None),
                          getattr(args, "process_id", None))
 
+    # dropout/latent RNG: the default threefry costs ~26% of the
+    # flagship train step on TPU (scripts/probe_rng_cost.py: 331 ->
+    # 243 ms/step with 'rbg'). rbg changes the random STREAM only —
+    # auto-on for TPU-like backends; -prng_impl threefry2x32 restores
+    # the default generator.
+    impl = getattr(args, "prng_impl", None)
+    if impl is None and jax.default_backend() in ("tpu", "axon"):
+        impl = "rbg"
+    if impl and impl != "default":
+        jax.config.update("jax_default_prng_impl", impl)
+
     set_seed(args.seed)
     log = get_logger("train", os.path.join(args.model_folder, "record.log")
                      if args.model_folder else None)

@@ -18,11 +18,11 @@ echo "[chain-b] pvaetf resume launched pid $(cat /tmp/train_pv.pid)" \
   | tee -a $W/chain_b.log
 
 # psca protocol: 10 scaffolds x 27 combos x 250, seen then unseen
-timeout 14400 python scripts/eval_bigrun.py psca /root/repo/$W 16 250 10 \
+timeout 14400 python scripts/eval_bigrun.py psca /root/repo/$W 16 250 50 \
   train > $W/eval_psca_seen.out 2>&1
 echo "[chain-b] psca seen rc=$? ($(tail -2 $W/eval_psca_seen.out | head -1))" \
   | tee -a $W/chain_b.log
-timeout 14400 python scripts/eval_bigrun.py psca /root/repo/$W 16 250 10 \
+timeout 14400 python scripts/eval_bigrun.py psca /root/repo/$W 16 250 50 \
   test_scaffolds > $W/eval_psca_unseen.out 2>&1
 echo "[chain-b] psca unseen rc=$? ($(tail -2 $W/eval_psca_unseen.out | head -1))" \
   | tee -a $W/chain_b.log

@@ -53,6 +53,9 @@ def main():
     t0 = time.time()
 
     import jax
+
+    # production recipe: rbg dropout PRNG (scripts/probe_rng_cost.py)
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from gctplus_tpu.models import ModelConfig, Vaetf
