@@ -50,11 +50,22 @@ def main():
     props = ([] if variant in ("vaetf", "scavaetf")
              else ["logP", "tPSA", "QED"])
     use_sca = variant in ("scavaetf", "pscavaetf")
+    # pscavaetf shape note: with nconds=3 and use_cond2lat, the decoder
+    # cross-attention memory is scaffold_fixed_len + 3 (cond2enc) + 3
+    # (cond2lat) tokens.  At 128 that lands on 134 -> XLA pads every
+    # attention-logit lane dim 134->256 (2.0x HBM), and the bs=512 train
+    # step wants 22.6G of 15.75G HBM (AOT OOM, _work/bigrun/
+    # train_pscavaetf.out).  122 puts the memory at exactly 128 lanes;
+    # bs=384 leaves co-residency headroom for concurrent protocol evals
+    # on the same chip (the step is HBM-bound, so wall-clock/epoch is
+    # roughly unchanged).
+    sca_len = 122 if variant == "pscavaetf" else 128
+    bsz = 384 if variant == "pscavaetf" else 512
     args = types.SimpleNamespace(
-        seed=0, start_epoch=1, num_epoch=epochs, batch_size=512,
+        seed=0, start_epoch=1, num_epoch=epochs, batch_size=bsz,
         property_list=props, model_type=variant,
         model_folder=os.path.join(workdir, f"run_{variant}512"),
-        use_scaffold=use_sca, scaffold_fixed_len=128,
+        use_scaffold=use_sca, scaffold_fixed_len=sca_len,
         randomize_prob=0.0,
         prepared_folder=os.path.join(workdir, "prepared"),
         util_folder=os.path.join(workdir, "utils"), debug=False,
