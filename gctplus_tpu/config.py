@@ -71,16 +71,18 @@ def train_opts(parser: argparse.ArgumentParser):
     parser.add_argument("-KLA_inc_beta", type=float, default=0.02)
     parser.add_argument("-KLA_max_beta", type=float, default=1.0)
     parser.add_argument("-KLA_beg_epoch", type=int, default=1)
-    # DEFAULT-ON posterior-collapse guard (recommended recipe): a
-    # 0.05-nat per-coordinate KL floor raises encoder latent signal
-    # ~53x at no generation-quality cost on the flagship ablation
-    # (EVIDENCE.md "Free-bits fix"). The reference objective
-    # (trainer1.py:19-30) has no floor — use
-    # -exact_reference_objective for bit-parity training runs.
-    parser.add_argument("-KLA_free_bits", type=float, default=0.05,
+    # Posterior-collapse guard (recommended recipe: 0.05): a 0.05-nat
+    # per-coordinate KL floor raises encoder latent signal ~53x at no
+    # generation-quality cost on the flagship ablation (EVIDENCE.md
+    # "Free-bits fix").  The DEFAULT is 0.0 = the exact reference
+    # objective (trainer1.py:19-30 has no floor), so unmodified
+    # invocations train the reference ELBO; recipe scripts
+    # (scripts/train_bigrun.py) opt into 0.05 explicitly, and
+    # train/loop.py logs loudly whenever a non-zero floor is active.
+    parser.add_argument("-KLA_free_bits", type=float, default=0.0,
                         help="per-latent-coordinate KL floor in nats "
                              "(posterior-collapse guard; 0 = reference "
-                             "objective)")
+                             "objective; 0.05 = recommended recipe)")
     parser.add_argument("-exact_reference_objective", action="store_true",
                         help="force the exact reference ELBO "
                              "(KLA_free_bits=0)")
