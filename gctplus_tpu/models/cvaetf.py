@@ -428,6 +428,42 @@ class Decoder(nn.Module):
         x = self.norm(x)
         return x, tuple(new_kvs)
 
+    def step_mega(self, token, pos, self_kvs, mem_kvs, mem_lengths,
+                  deterministic: bool = True, interpret: bool = False):
+        """Megakernel decode step: ONE pallas_call per layer
+        (ops/decoder_step.py) instead of ~15 XLA ops + 2 attention
+        kernels.  Same packed layouts as step_packed, but the cache T
+        must be a multiple of 8 and the memory Tm a multiple of 16
+        (DecodeEngine pads both for this path).  The kernel computes
+        the current token's K/V internally and returns the rows; the
+        cache row update stays here in XLA."""
+        from gctplus_tpu.ops.decoder_step import (decoder_layer_step,
+                                                  layer_weights_from_params)
+        c = self.cfg
+        x = self.embed(token[:, None])
+        x = self.pe.at_position(x, pos)[:, 0, :]          # (bs, D)
+        new_kvs = []
+        for i, layer in enumerate(self.layers):
+            w = layer_weights_from_params(
+                {"attn_1": layer.attn_1.variables["params"],
+                 "attn_2": layer.attn_2.variables["params"],
+                 "ff": layer.ff.variables["params"],
+                 "norm_1": layer.norm_1.variables["params"],
+                 "norm_2": layer.norm_2.variables["params"],
+                 "norm_3": layer.norm_3.variables["params"]},
+                c.dtype)
+            x, k_row, v_row = decoder_layer_step(
+                x, pos, self_kvs[i][0], self_kvs[i][1],
+                mem_kvs[i][0], mem_kvs[i][1], mem_lengths, w,
+                heads=c.heads, interpret=interpret)
+            kc = jax.lax.dynamic_update_slice(
+                self_kvs[i][0], k_row[None], (pos, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                self_kvs[i][1], v_row[None], (pos, 0, 0))
+            new_kvs.append((kc, vc))
+        x = self.norm(x[:, None, :])
+        return x, tuple(new_kvs)
+
 
 class _BaseVAE(nn.Module):
     """Shared forward/encode/decode plumbing."""
@@ -521,6 +557,14 @@ class _BaseVAE(nn.Module):
                            mem_lengths, deterministic: bool = True,
                            interpret: bool = False):
         x, self_kvs = self.decoder.step_packed(
+            token, pos, self_kvs, mem_kvs, mem_lengths, deterministic,
+            interpret)
+        return self.out(x)[:, 0, :], self_kvs
+
+    def decode_step_mega(self, token, pos, self_kvs, mem_kvs,
+                         mem_lengths, deterministic: bool = True,
+                         interpret: bool = False):
+        x, self_kvs = self.decoder.step_mega(
             token, pos, self_kvs, mem_kvs, mem_lengths, deterministic,
             interpret)
         return self.out(x)[:, 0, :], self_kvs

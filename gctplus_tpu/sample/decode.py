@@ -65,7 +65,10 @@ class DecodeEngine:
     def __init__(self, model, cfg: ModelConfig, fused=None):
         """fused: None = auto (fused Pallas decode step on real TPU,
         XLA path on cpu/gpu); True/False to force; "interpret" runs
-        the fused kernels in the Pallas interpreter (CPU tests).
+        the fused kernels in the Pallas interpreter (CPU tests);
+        "mega" uses the whole-decoder-layer megakernel
+        (ops/decoder_step.py, one pallas_call per layer per token);
+        "mega_interpret" is its CPU-interpreter variant.
 
         The fused path (ops/decode_attention.py) stores KV caches
         packed (bs, T, d_model) and fuses each layer's attention +
@@ -88,7 +91,13 @@ class DecodeEngine:
         model, cfg = self.model, self.cfg
         cache_len = prefix_bucket + max_new
         fused = bool(self.fused)
-        interpret = self.fused == "interpret"
+        mega = self.fused in ("mega", "mega_interpret")
+        interpret = self.fused in ("interpret", "mega_interpret")
+        if mega:
+            # megakernel stream-chunk alignment (ops/decoder_step.py):
+            # cache T to a multiple of 8; rows >= pos are masked so the
+            # pad is dead weight the clamp never reads
+            cache_len = -(-cache_len // 8) * 8
 
         def sampler(params, prefix, prefix_len, z, src_mask, dconds, rng):
             bs = prefix.shape[0]
@@ -98,6 +107,16 @@ class DecodeEngine:
                 mem_kvs, mem_lengths = model.apply(
                     variables, z, src_mask, dconds,
                     method=type(model).prepare_memory_packed)
+                if mega:
+                    # memory Tm to a multiple of 16; padded cols sit
+                    # beyond every row's length and are never read
+                    Tm = mem_kvs[0][0].shape[1]
+                    Tm_pad = -(-Tm // 16) * 16
+                    if Tm_pad != Tm:
+                        pad = ((0, 0), (0, Tm_pad - Tm), (0, 0))
+                        mem_kvs = tuple(
+                            (jnp.pad(k, pad), jnp.pad(v, pad))
+                            for k, v in mem_kvs)
             else:
                 mem_kvs, wide_src_mask = model.apply(
                     variables, z, src_mask, dconds,
@@ -142,7 +161,12 @@ class DecodeEngine:
             def body_fn(carry):
                 tokens, cur_len, finished, kvs, rng = carry
                 last_tok = tokens[bidx, cur_len - 1]
-                if fused:
+                if mega:
+                    logits, kvs = model.apply(
+                        {"params": params}, last_tok, cur_len - 1, kvs,
+                        mem_kvs, mem_lengths, True, interpret,
+                        method=type(model).decode_step_mega)
+                elif fused:
                     logits, kvs = model.apply(
                         {"params": params}, last_tok, cur_len - 1, kvs,
                         mem_kvs, mem_lengths, True, interpret,

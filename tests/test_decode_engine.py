@@ -122,16 +122,18 @@ def test_fused_packed_decode_matches_xla_path(variant):
     prefix[:, 1] = 5
 
     outs = {}
-    for mode in (False, "interpret"):
+    for mode in (False, "interpret", "mega_interpret"):
         eng = DecodeEngine(model, cfg, fused=mode)
         outs[mode] = np.asarray(eng.sample(
             params, jnp.asarray(prefix), 2, z, src_mask, dconds,
             jax.random.PRNGKey(0), max_new=max_new, decode_algo="greedy",
             eos_id=eos_id, pad_id=pad_id))
-    for b in range(bs):
-        assert (_trim(outs[False][b], eos_id, pad_id)
-                == _trim(outs["interpret"][b], eos_id, pad_id)), (
-            f"row {b}: xla={outs[False][b]} fused={outs['interpret'][b]}")
+    for mode in ("interpret", "mega_interpret"):
+        for b in range(bs):
+            assert (_trim(outs[False][b], eos_id, pad_id)
+                    == _trim(outs[mode][b], eos_id, pad_id)), (
+                f"row {b} [{mode}]: xla={outs[False][b]} "
+                f"fused={outs[mode][b]}")
 
 
 def test_kv_cache_with_padded_prefix_bucket():
