@@ -120,6 +120,23 @@ def _norm(x, scale_ref, bias_ref, eps=1e-6):
     return out.astype(x.dtype)
 
 
+def _gelu_exact(x):
+    """Exact (erf) GELU without the erf primitive, which has no Pallas
+    TPU (Mosaic) lowering — only erf_inv does.  erf is evaluated with
+    the Abramowitz & Stegun 7.1.26 polynomial (|abs err| <= 1.5e-7),
+    below half a bf16 ulp of the FFN activations, so the kernel stays
+    token-parity-equal with the XLA path's jax.nn.gelu(approximate=
+    False) (layers.py::FeedForward, ref Model/sublayers.py:77-89)."""
+    a = x * 0.7071067811865476  # x / sqrt(2)
+    s = jnp.where(a >= 0.0, 1.0, -1.0)
+    z = jnp.abs(a)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+        + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-z * z))
+    return 0.5 * x * (1.0 + erf)
+
+
 def _proj(x, w_ref, b_ref):
     """x (B, Din) @ (Din, Dout) + bias, Flax-Dense-equivalent in the
     compute dtype (MXU f32 accumulation, bf16 result + bf16 bias)."""
@@ -233,7 +250,7 @@ def _layer_step_kernel(pos_ref, nblk_ref, x_ref, k_ref, v_ref, mk_ref,
         h3 = _norm(xr_ref[:], n3s, n3b)
         f = jnp.dot(h3, wf1[:], preferred_element_type=jnp.float32)
         f = f + bf1[0]
-        f = jax.nn.gelu(f, approximate=False).astype(dtype)
+        f = _gelu_exact(f).astype(dtype)
         xo_ref[:] = xr_ref[:] + _proj(f, wf2, bf2)
 
 
@@ -242,7 +259,7 @@ def _layer_step_kernel(pos_ref, nblk_ref, x_ref, k_ref, v_ref, mk_ref,
     static_argnames=("heads", "block_b", "interpret"))
 def decoder_layer_step(x, pos, k_cache, v_cache, mem_k, mem_v, lengths,
                        w: LayerStepWeights, heads: int,
-                       block_b: int = 128, interpret: bool = False):
+                       block_b: int = 64, interpret: bool = False):
     """One decoder layer's full per-token step as a single kernel.
 
     x: (bs, D) current-token activations (post embed+PE, pre norm_1).
@@ -253,6 +270,14 @@ def decoder_layer_step(x, pos, k_cache, v_cache, mem_k, mem_v, lengths,
     lengths: (bs,) int32 — row r attends to memory cols < lengths[r].
 
     Returns (x_out (bs, D), k_row (bs, D), v_row (bs, D)).
+
+    block_b=64 keeps the whole working set inside the 16 MB scoped
+    VMEM budget at flagship shape (D=512, F=2048): ~7.1 MB weights
+    (constant index maps, fetched once) + ~6 MB double-buffered
+    cache/memory stream blocks + ~1 MB rows/scratch ≈ 14 MB.
+    block_b=128 was measured 16.2 MB and failed XLA's scoped-vmem
+    check on v5e (the CompilerParams vmem_limit_bytes does not raise
+    that 16 MB stack limit through the remote-compile service).
     """
     bs, D = x.shape
     T = k_cache.shape[0]

@@ -24,6 +24,7 @@ probabilities to 1e-6 before renormalized sampling.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -63,24 +64,36 @@ class DecodeEngine:
     """
 
     def __init__(self, model, cfg: ModelConfig, fused=None):
-        """fused: None = auto (fused Pallas decode step on real TPU,
-        XLA path on cpu/gpu); True/False to force; "interpret" runs
-        the fused kernels in the Pallas interpreter (CPU tests);
-        "mega" uses the whole-decoder-layer megakernel
-        (ops/decoder_step.py, one pallas_call per layer per token);
-        "mega_interpret" is its CPU-interpreter variant.
+        """fused: None = auto (decoder-layer MEGAKERNEL on real TPU,
+        XLA path on cpu/gpu); True/False force the per-attention fused
+        kernels / XLA; "interpret" runs the fused kernels in the
+        Pallas interpreter (CPU tests); "mega" forces the
+        whole-decoder-layer megakernel (ops/decoder_step.py, one
+        pallas_call per layer per token); "mega_interpret" is its
+        CPU-interpreter variant. Env GCTPLUS_DECODE_PATH
+        ({mega,fused,xla}) overrides the auto choice — useful to pin a
+        long eval run to a specific path.
 
-        The fused path (ops/decode_attention.py) stores KV caches
-        packed (bs, T, d_model) and fuses each layer's attention +
-        cache update into one kernel — ~2.5x fewer HBM bytes and ~50x
-        fewer ops per emitted token than the XLA step (see EVIDENCE.md
-        decode breakdown)."""
+        Measured at flagship shape bs=512 (probe_mega_ab.py, quiet
+        chip): XLA 3.89 ms/step, fused attention kernels 2.25 ms,
+        megakernel 1.89 ms — and the megakernel is markedly more
+        robust to chip sharing (fewer, longer kernels). The fused path
+        (ops/decode_attention.py) stores KV caches packed
+        (bs, T, d_model) — ~2.5x fewer HBM bytes and ~50x fewer ops
+        per emitted token than the XLA step (EVIDENCE.md decode
+        breakdown); the megakernel folds each layer's ~15 remaining
+        ops into one call."""
         self.model = model
         self.cfg = cfg
         if fused is None:
-            # whitelist TPU-like backends (see layers.py
-            # _pallas_attention_applicable)
-            fused = jax.default_backend() in ("tpu", "axon")
+            env = os.environ.get("GCTPLUS_DECODE_PATH")
+            if env:
+                fused = {"mega": "mega", "fused": True, "xla": False}[env]
+            else:
+                # whitelist TPU-like backends (see layers.py
+                # _pallas_attention_applicable)
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+                fused = "mega" if on_tpu else False
         self.fused = fused
         self._jitted: Dict[Tuple, Any] = {}
 

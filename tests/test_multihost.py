@@ -37,7 +37,9 @@ def _launch(workdir, port, start_epoch, num_epoch):
         env=env) for pid in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        # 1800s: the two workers share one host core with whatever
+        # train/eval host work is live; 900s starved under load once
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
     return procs, outs
 
