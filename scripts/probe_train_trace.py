@@ -24,25 +24,56 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def classify(name: str) -> str:
-    n = name.lower()
-    if "fusion" in n and ("dot" in n or "conv" in n):
-        return "matmul-fusion"
-    if n.startswith("%dot") or ".dot" in n or "dot_general" in n \
-            or n.startswith("dot"):
-        return "matmul"
-    if "softmax" in n or "exp" in n or "reduce" in n:
-        return "reduce/softmax"
-    if "fusion" in n:
-        return "other-fusion"
-    if "copy" in n or "slice" in n or "transpose" in n or "dus" in n \
-            or "dynamic" in n:
-        return "copy/slice"
-    if "all-reduce" in n or "psum" in n:
-        return "collective"
-    if "infeed" in n or "outfeed" in n or "barrier" in n:
-        return "host-sync"
-    return "misc"
+import re
+
+
+def analyze_trace(path: str, n_steps: int, peak_tf=197e12, peak_bw=819e9):
+    """Roofline table from the chrome trace's HLO metadata.
+
+    Aggregates device ops by `hlo_category`, with per-category achieved
+    TFLOP/s (from `model_flops`) and GB/s (from `raw_bytes_accessed`),
+    plus the XLA auto-remat share — enough to read off whether the step
+    is MXU- or HBM-limited without xprof tooling."""
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                 for e in events if e.get("name") == "process_name"}
+    device_pids = {p for p, nm in pid_names.items() if "TPU" in nm}
+    cat = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+    remat_ms = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        n = e.get("name", "")
+        # skip the whole-program envelope and per-step marker events
+        if n.startswith("jit_") or re.fullmatch(r"\d+", n):
+            continue
+        a = e.get("args", {})
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        c = cat[a.get("hlo_category", "(uncategorized)")]
+        c[0] += dur
+        c[1] += float(a.get("model_flops", 0) or 0)
+        c[2] += float(a.get("raw_bytes_accessed", 0) or 0)
+        if ".remat" in n:
+            remat_ms += dur
+    total_ms = sum(v[0] for v in cat.values())
+    total_bytes = sum(v[2] for v in cat.values())
+    total_flops = sum(v[1] for v in cat.values())
+    print(f"device {total_ms/n_steps:.1f} ms/step, "
+          f"{total_bytes/n_steps/1e9:.1f} GB/step touched, "
+          f"{total_flops/n_steps/1e12:.2f} TFLOP/step "
+          f"(XLA auto-remat {remat_ms/n_steps:.1f} ms/step)", flush=True)
+    print(f"  HBM roofline floor {total_bytes/n_steps/peak_bw*1e3:.0f} ms"
+          f" | MXU floor {total_flops/n_steps/peak_tf*1e3:.0f} ms", flush=True)
+    print(f"  {'category':24s} {'ms/step':>8s} {'%':>6s} "
+          f"{'TFLOP/s':>8s} {'GB/s':>6s}", flush=True)
+    for c, (ms, fl, by) in sorted(cat.items(), key=lambda kv: -kv[1][0]):
+        if ms / total_ms < 0.002:
+            continue
+        s = ms / 1e3
+        print(f"  {c:24s} {ms/n_steps:8.2f} {100*ms/total_ms:6.1f} "
+              f"{fl/s/1e12:8.1f} {by/s/1e9:6.0f}", flush=True)
 
 
 def main():
@@ -115,29 +146,7 @@ def main():
         print("NO TRACE JSON (tunnel may not support device tracing)")
         return
     path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # find TensorCore/device process ids
-    pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
-                 for e in events if e.get("name") == "process_name"}
-    device_pids = {p for p, nm in pid_names.items()
-                   if "TPU" in nm or "Tensor" in nm or "/device" in nm.lower()}
-    agg = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        if device_pids and e.get("pid") not in device_pids:
-            continue
-        dur = e.get("dur", 0) / 1e6  # us -> s
-        agg[classify(e.get("name", ""))] += dur
-        total += dur
-    print(f"parsed {len(events)} events from {os.path.basename(path)}; "
-          f"device time {total*1e3:.1f} ms over 4 steps", flush=True)
-    for cls, dur in agg.most_common():
-        print(f"  {cls:16s} {dur*1e3:8.1f} ms  {100*dur/max(total,1e-9):5.1f}%",
-              flush=True)
+    analyze_trace(path, n_steps=4)
     print(f"PROBE_TRAIN_TRACE_DONE {(time.time()-t0)/60:.1f} min",
           flush=True)
 
