@@ -36,6 +36,47 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+class _pause_tracked_trainers:
+    """SIGSTOP any live background training job tracked by the session
+    pidfiles (/tmp/train_*.pid, written by scripts/chain_*.sh and the
+    bigrun launches) for the duration of the benchmark, SIGCONT after.
+
+    The long-schedule trainings are resumable per-epoch and share the
+    single chip; pausing them (never killing) lets the benchmark
+    measure a quiet chip without destroying training progress.
+    """
+
+    def __enter__(self):
+        import glob
+        import os
+        import signal
+        self._paused = []
+        for pf in glob.glob("/tmp/train_*.pid"):
+            try:
+                pid = int(open(pf).read().strip())
+                os.kill(pid, 0)          # alive?
+                os.kill(pid, signal.SIGSTOP)
+                self._paused.append(pid)
+                _log(f"bench: paused training pid {pid} ({pf})")
+            except (ValueError, ProcessLookupError, PermissionError,
+                    OSError):
+                continue
+        if self._paused:
+            time.sleep(3.0)  # let in-flight device steps drain
+        return self
+
+    def __exit__(self, *exc):
+        import os
+        import signal
+        for pid in self._paused:
+            try:
+                os.kill(pid, signal.SIGCONT)
+                _log(f"bench: resumed training pid {pid}")
+            except OSError:
+                pass
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -237,4 +278,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    with _pause_tracked_trainers():
+        main()

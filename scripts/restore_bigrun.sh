@@ -1,0 +1,10 @@
+#!/bin/bash
+# Rebuild _work/bigrun (descriptor-annotated raw corpus + prepared
+# token CSVs + vocab/scaler utils) from the committed data_artifacts/
+# in ~1 minute, instead of regenerating (~30-70 min gen + ~20 min
+# preprocess). See data_artifacts/README.md.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p _work/bigrun
+xz -dc data_artifacts/bigrun_data.tar.xz | tar -C _work/bigrun -xf -
+echo "restored _work/bigrun: $(ls _work/bigrun)"

@@ -59,8 +59,13 @@ def main():
     # bs=384 leaves co-residency headroom for concurrent protocol evals
     # on the same chip (the step is HBM-bound, so wall-clock/epoch is
     # roughly unchanged).
+    # scavaetf at bs=512/L=128 also AOT-OOMs (16.12G of 15.75G,
+    # _work/bigrun/train_scavaetf.out 2026-08-17): the f32 attention
+    # logits [bs,8,129,128] and d_ff activations scale linearly with
+    # bs, so 384 brings the program to ~12G.  HBM-bound step ->
+    # tokens/s per wall-clock roughly unchanged.
     sca_len = 122 if variant == "pscavaetf" else 128
-    bsz = 384 if variant == "pscavaetf" else 512
+    bsz = 384 if use_sca else 512
     args = types.SimpleNamespace(
         seed=0, start_epoch=1, num_epoch=epochs, batch_size=bsz,
         property_list=props, model_type=variant,
