@@ -46,6 +46,21 @@ class _pause_tracked_trainers:
     measure a quiet chip without destroying training progress.
     """
 
+    @staticmethod
+    def _with_children(pid):
+        """pid plus its descendants (a pidfile may point at a shell
+        wrapper whose child is the real python trainer)."""
+        out, todo = [], [pid]
+        while todo:
+            p = todo.pop()
+            out.append(p)
+            try:
+                with open(f"/proc/{p}/task/{p}/children") as f:
+                    todo.extend(int(c) for c in f.read().split())
+            except OSError:
+                pass
+        return out
+
     def __enter__(self):
         import glob
         import os
@@ -55,12 +70,16 @@ class _pause_tracked_trainers:
             try:
                 pid = int(open(pf).read().strip())
                 os.kill(pid, 0)          # alive?
-                os.kill(pid, signal.SIGSTOP)
-                self._paused.append(pid)
-                _log(f"bench: paused training pid {pid} ({pf})")
             except (ValueError, ProcessLookupError, PermissionError,
                     OSError):
                 continue
+            for p in self._with_children(pid):
+                try:
+                    os.kill(p, signal.SIGSTOP)
+                    self._paused.append(p)
+                    _log(f"bench: paused training pid {p} ({pf})")
+                except OSError:
+                    pass
         if self._paused:
             time.sleep(3.0)  # let in-flight device steps drain
         return self

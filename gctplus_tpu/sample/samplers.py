@@ -43,7 +43,7 @@ class BaseSampler:
                  decode_algo: str = "multinomial",
                  top_k: Optional[int] = None, seed: int = 0,
                  batch_size: int = 512, lat_bucket: int = 16,
-                 mesh=None):
+                 mesh=None, fixed_decode_shapes: bool = False):
         self.model = model
         self.cfg = cfg
         self.params = params
@@ -56,6 +56,13 @@ class BaseSampler:
         self.top_k = top_k
         self.batch_size = batch_size
         self.lat_bucket = lat_bucket
+        # protocol mode: prefix rounds to 16 and lat_len is a function
+        # of the PREFIX BUCKET alone (not the toklen draws), so a
+        # 100-scaffold protocol compiles ~3 programs instead of ~15.
+        # The streaming cross-attention kernel clamps KV reads to each
+        # block's max toklen, so the extra padded latent rows are
+        # nearly free; masked positions make the math identical.
+        self.fixed_decode_shapes = fixed_decode_shapes
         self.engine = DecodeEngine(model, cfg)
         self.tokenizer = SmilesTokenizer()
         self.rng = np.random.default_rng(seed)
@@ -121,11 +128,17 @@ class BaseSampler:
         else:
             n_pad = n
         P = len(prefix_ids)
-        P_bucket = _round_up(P, 8)
+        P_bucket = _round_up(P, 16 if self.fixed_decode_shapes else 8)
         prefix = np.full((n_pad, P_bucket), self.src_vocab.pad_id, np.int32)
         prefix[:, :P] = prefix_ids
 
-        lat_len = int(np.max(toklen)) + extra_lat
+        if self.fixed_decode_shapes:
+            # static per-bucket latent length: covers the largest
+            # possible draw (toklen <= max_strlen, extra_lat <=
+            # P_bucket-1); stop masks the unused tail
+            lat_len = self.max_strlen + P_bucket - 1
+        else:
+            lat_len = int(np.max(toklen)) + extra_lat
         lat_len = min(_round_up(lat_len, self.lat_bucket),
                       self.cfg.max_seq_len)
         toklen_pad = np.resize(np.asarray(toklen), n_pad)

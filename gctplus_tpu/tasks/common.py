@@ -60,9 +60,16 @@ def load_params_any(model, cfg, model_path: str, model_type: str):
         return params
     from gctplus_tpu.train.loop import load_checkpoint
     from flax import serialization
+    import jax
+    import numpy as _np
     blob = load_checkpoint(model_path)
     template = init_params(model, cfg)
-    return serialization.from_state_dict(template, blob["params"])
+    restored = serialization.from_state_dict(template, blob["params"])
+    # compact exports (scripts/export_ckpt.py) store bf16 leaves; the
+    # runtime scheme is f32 params + dtype-cast compute, so upcast to
+    # the template dtype on load
+    return jax.tree_util.tree_map(
+        lambda t, s: _np.asarray(s, t.dtype), template, restored)
 
 
 def build_sampler(args, log=None) -> BaseSampler:
@@ -106,4 +113,6 @@ def build_sampler(args, log=None) -> BaseSampler:
                decode_algo=getattr(args, "decode_algo", "multinomial"),
                top_k=getattr(args, "top_k", None),
                seed=getattr(args, "seed", 0),
-               batch_size=getattr(args, "batch_size", 512))
+               batch_size=getattr(args, "batch_size", 512),
+               fixed_decode_shapes=getattr(args, "fixed_decode_shapes",
+                                           False))

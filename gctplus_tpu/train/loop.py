@@ -193,11 +193,21 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
                                  f"model_{start_epoch-1}.msgpack")
         if os.path.exists(ckpt_path):
             blob = load_checkpoint(ckpt_path)
-            state = state.replace(
-                params=serialization.from_state_dict(state.params,
-                                                     blob["params"]),
-                opt_state=serialization.from_state_dict(state.opt_state,
-                                                        blob["opt_state"]))
+            # compact exports (scripts/export_ckpt.py) drop the Adam
+            # moments and may store bf16 leaves: cast back to the
+            # template dtype and warm-restart the optimizer
+            restored = jax.tree_util.tree_map(
+                lambda t, s: np.asarray(s, t.dtype),
+                state.params,
+                serialization.from_state_dict(state.params,
+                                              blob["params"]))
+            state = state.replace(params=restored)
+            if "opt_state" in blob:
+                state = state.replace(opt_state=serialization.from_state_dict(
+                    state.opt_state, blob["opt_state"]))
+            elif log:
+                log.warning(f"{ckpt_path} has no opt_state (compact "
+                            "export): Adam moments restart fresh")
             if log:
                 log.info(f"resumed from {ckpt_path}")
 

@@ -126,6 +126,11 @@ def main():
         # scaffold decode shapes: prefix bucket + 80 new tokens
         a = _args(workdir, variant, epoch, n_scaffolds=n_sca, n_samples=n,
                   use_scaffold=True,
+                  # one compiled program per 16-wide prefix bucket
+                  # ({32,48,64} covers both sources) instead of one per
+                  # (8-wide bucket, toklen-max) pair — the remote
+                  # compile service costs ~1-2 min per decode program
+                  fixed_decode_shapes=True,
                   save_folder=os.path.join(
                       workdir, f"results_{variant}_{epoch}_{source}"))
         if mode == "sca":
