@@ -5,8 +5,9 @@
 # chain time-slices the chip instead of sharing it:
 #   1. scavaetf trains solo until CUT1, then is killed (per-epoch
 #      checkpoints make the kill lossless)
-#   2. sca protocol on the newest epoch: 100 scaffolds x 1000,
-#      seen then unseen (solo ~20-30 min each)
+#   2. sca protocol on the newest epoch: 100 scaffolds x 2500
+#      (VERDICT's asked-for scale; 512-row warmed decode programs
+#      chunk any n), seen then unseen (solo ~30 min each)
 #   3. SSF-vs-epoch probes (10 scaffolds x 512) on epochs 4/8/12 for
 #      the schedule-boundedness curve
 #   4. pscavaetf trains solo until CUT2, then killed
@@ -43,10 +44,10 @@ python scripts/export_ckpt.py $W/run_scavaetf512/model_$EP.msgpack \
   && log "exported checkpoints/scavaetf_620k_ep$EP.msgpack"
 
 # ---- 2. sca protocol seen + unseen ----
-timeout 3600 python scripts/eval_bigrun.py sca /root/repo/$W $EP 1000 100 \
+timeout 4200 python scripts/eval_bigrun.py sca /root/repo/$W $EP 2500 100 \
   train > $W/eval_sca_seen_$EP.out 2>&1
 log "sca seen rc=$? :: $(grep SCA_MEAN $W/eval_sca_seen_$EP.out | tail -1)"
-timeout 3600 python scripts/eval_bigrun.py sca /root/repo/$W $EP 1000 100 \
+timeout 4200 python scripts/eval_bigrun.py sca /root/repo/$W $EP 2500 100 \
   test_scaffolds > $W/eval_sca_unseen_$EP.out 2>&1
 log "sca unseen rc=$? :: $(grep SCA_MEAN $W/eval_sca_unseen_$EP.out | tail -1)"
 
