@@ -60,9 +60,13 @@ def save_checkpoint(path: str, state: TrainState, hyper: Dict) -> None:
         "step": int(state.step),
         "model_params": hyper,
     }
-    with open(path, "wb") as f:
+    # atomic write: a kill/reset mid-save must never leave a truncated
+    # msgpack as the newest checkpoint (resume + eval pick newest)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(
             jax.tree_util.tree_map(np.asarray, blob)))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Dict:

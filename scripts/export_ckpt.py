@@ -37,8 +37,10 @@ def main():
         "step": blob.get("step", 0),
         "model_params": blob.get("model_params", {}),
     }
-    with open(dst, "wb") as f:
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(out))
+    os.replace(tmp, dst)
     print(f"{src} ({os.path.getsize(src)/1e6:.0f} MB) -> "
           f"{dst} ({os.path.getsize(dst)/1e6:.0f} MB)")
 
