@@ -6,6 +6,7 @@ aggregations."""
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Sequence
 
@@ -40,6 +41,12 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
     for si, sca in enumerate(scaffolds):
         for combo in combos:
             tag = f"s{si}_" + "_".join(f"{v:g}" for v in combo)
+            # restart-resumable at cell granularity (tunnel hangs)
+            row_path = os.path.join(save_folder, f"row_{tag}.json")
+            if os.path.exists(row_path):
+                with open(row_path) as f:
+                    rows.append(json.load(f))
+                continue
             gen_path = os.path.join(save_folder, f"gen_{tag}.csv")
             if os.path.exists(gen_path):
                 gen = pd.read_csv(gen_path)
@@ -102,6 +109,9 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
                 row["unique_in_tolerance"] = len(
                     {s for (s, _, _), ok in zip(keep, good) if ok}
                 ) / max(1, len(smiles))
+            with open(row_path + ".tmp", "w") as f:
+                json.dump(row, f, default=float)
+            os.replace(row_path + ".tmp", row_path)
             rows.append(row)
         log.info(f"scaffold {si+1}/{len(scaffolds)} done")
 

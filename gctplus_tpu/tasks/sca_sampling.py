@@ -7,6 +7,7 @@ include SSF (scaffold-similarity == 1 fraction) and sim80
 
 from __future__ import annotations
 
+import json
 import os
 from collections import Counter
 from typing import List, Sequence
@@ -48,6 +49,17 @@ def sca_sampling(args, scaffold_source: Sequence[str], train=None,
 
     rows = []
     for si, sca in enumerate(scaffolds):
+        # restart-resumable at metric granularity: the axon tunnel can
+        # hang mid-protocol and the rerun must skip finished scaffolds
+        # entirely (recomputing 2.5k-sample metrics costs ~10-20 s each)
+        row_path = os.path.join(save_folder, f"row_s{si}.json")
+        if os.path.exists(row_path):
+            with open(row_path) as f:
+                row = json.load(f)
+            rows.append(row)
+            log.info(f"[{si+1}/{len(scaffolds)}] cached "
+                     f"(valid={row['valid']:.3f} SSF={row['SSF']:.3f})")
+            continue
         gen_path = os.path.join(save_folder, f"gen_s{si}.csv")
         if os.path.exists(gen_path):
             gen = pd.read_csv(gen_path)
@@ -71,6 +83,9 @@ def sca_sampling(args, scaffold_source: Sequence[str], train=None,
                             / max(1, len(uniq)))
         row.update(scaffold_metrics(valid, sca, args.n_jobs,
                                     canonical=True, n_total=len(smiles)))
+        with open(row_path + ".tmp", "w") as f:
+            json.dump(row, f, default=float)
+        os.replace(row_path + ".tmp", row_path)
         rows.append(row)
         log.info(f"[{si+1}/{len(scaffolds)}] valid={row['valid']:.3f} "
                  f"SSF={row['SSF']:.3f} sim80={row['sim80']:.3f}")
