@@ -122,6 +122,13 @@ def train_opts(parser: argparse.ArgumentParser):
                         help="orbax = async sharded checkpoints "
                              "(train/orbax_io.py) in addition to the "
                              "portable per-epoch msgpack")
+    parser.add_argument("-ckpt_full_every", type=int, default=1,
+                        help="write the full resumable blob (params + "
+                             "Adam moments) only every Nth epoch and on "
+                             "the final one; other epochs store compact "
+                             "params-only bf16 blobs (~1/6 bytes — the "
+                             "533 MB flagship gather costs ~100 s/epoch "
+                             "through a remote-device tunnel)")
     parser.add_argument("-use_model_path", type=str, default=None,
                         help="pretrained checkpoint (.msgpack or "
                              "reference .pt) to transfer from")

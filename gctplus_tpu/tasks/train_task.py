@@ -186,6 +186,7 @@ def _run_training(args, model, cfg, params, train_loader, valid_loader,
         log=log, device_put_fn=device_put_fn, hyper=hyper,
         trainable_mask=trainable_mask,
         ckpt_backend=getattr(args, "ckpt_backend", "msgpack"),
+        ckpt_full_every=getattr(args, "ckpt_full_every", 1),
         free_bits=(0.0 if getattr(args, "exact_reference_objective", False)
                    else getattr(args, "KLA_free_bits", 0.0)))
 

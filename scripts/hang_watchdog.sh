@@ -1,28 +1,44 @@
 #!/bin/bash
 # Tunnel-hang watchdog for background trainers.
 #
-# The axon tunnel occasionally hangs an RPC: the training process
-# stays alive at ~0% CPU in state S and its stdout log stops advancing
-# (CLAUDE.md; hit twice on 2026-08-17 ~45 min apart).  Per-epoch
-# checkpoints + the persistent compile cache make kill-and-rerun cheap
-# (~70 s to first batch), so the watchdog does exactly that:
+# The axon tunnel occasionally hangs an RPC mid-run.  Two variants
+# observed (2026-08-17/18): process idle at ~0% CPU, and a client
+# busy-spin with CPU hot — in BOTH the stdout log stops advancing, so
+# log progress (not CPU ticks: the first watchdog missed a real hang
+# because a background thread kept trickling ticks) is the detection
+# signal.  Per-epoch checkpoints + the persistent compile cache make
+# kill-and-rerun cheap (~70 s to first batch), so the watchdog does
+# exactly that.
 #
 # Every CHECK_S seconds, for each live /tmp/train_{sca,psca,v,pv}.pid:
-#   - skip if state T (bench.py SIGSTOPs trainers during the benchmark)
-#   - if the process consumed < MIN_TICKS CPU ticks since the last
-#     check AND its log file has not grown, kill it and relaunch the
-#     same command line (train_bigrun.py resumes from the newest
-#     checkpoint), updating the pidfile.
+#   - skip if state T (bench.py SIGSTOPs trainers during benchmarks)
+#   - skip if the process is younger than GRACE_S (first AOT compile
+#     of a new program is silent for 3-8 min; killing during it would
+#     loop forever)
+#   - if the log file has not grown for STRIKES_MAX consecutive
+#     checks (~4.5-7 min of silence; a full 533 MB checkpoint gather
+#     under CPU contention can legitimately take ~4), kill the
+#     process and relaunch the same command line (train_bigrun.py
+#     resumes from the newest checkpoint), updating the pidfile.
 #
 # Stop with: kill $(cat /tmp/watchdog.pid)
 set -u
 cd /root/repo
 CHECK_S=${CHECK_S:-90}
-MIN_TICKS=${MIN_TICKS:-50}
+GRACE_S=${GRACE_S:-600}
+STRIKES_MAX=${STRIKES_MAX:-3}
 echo $$ > /tmp/watchdog.pid
-declare -A LAST_TICKS LAST_SIZE STRIKES
+declare -A LAST_SIZE STRIKES
 
 wlog() { echo "[watchdog $(date +%H:%M:%S)] $*" >> _work/watchdog.log; }
+
+proc_age() {  # seconds since process start
+  local start_ticks hz uptime
+  start_ticks=$(awk '{print $22}' "/proc/$1/stat" 2>/dev/null) || return 1
+  hz=$(getconf CLK_TCK)
+  uptime=$(awk '{print int($1)}' /proc/uptime)
+  echo $(( uptime - start_ticks / hz ))
+}
 
 while true; do
   sleep "$CHECK_S"
@@ -33,23 +49,22 @@ while true; do
     [ -d "/proc/$pid" ] || continue
     state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null) || continue
     [ "$state" = "T" ] && { wlog "$pid paused (bench), skip"; continue; }
-    ticks=$(awk '{print $14+$15}' "/proc/$pid/stat" 2>/dev/null) || continue
-    # the trainer redirects stdout to a logfile; watch its growth too
+    age=$(proc_age "$pid") || continue
+    [ "$age" -lt "$GRACE_S" ] && continue
     out=$(readlink "/proc/$pid/fd/1" 2>/dev/null || echo "")
     size=0; [ -f "$out" ] && size=$(stat -c %s "$out")
-    key="$pf"
-    prev_t=${LAST_TICKS[$key]:-}
+    key="$pf:$pid"
     prev_s=${LAST_SIZE[$key]:-}
-    LAST_TICKS[$key]=$ticks; LAST_SIZE[$key]=$size
-    [ -z "$prev_t" ] && continue
-    if [ $((ticks - prev_t)) -lt "$MIN_TICKS" ] && [ "$size" = "$prev_s" ]
-    then
+    LAST_SIZE[$key]=$size
+    [ -z "$prev_s" ] && continue
+    if [ "$size" = "$prev_s" ]; then
       STRIKES[$key]=$(( ${STRIKES[$key]:-0} + 1 ))
+      wlog "$pid log stale ($out @ $size bytes, " \
+           "strike ${STRIKES[$key]}/$STRIKES_MAX)"
     else
       STRIKES[$key]=0
     fi
-    if [ "${STRIKES[$key]}" -ge 2 ]; then
-      # two consecutive stale intervals (~3 min) -> hung: relaunch
+    if [ "${STRIKES[$key]:-0}" -ge "$STRIKES_MAX" ]; then
       cmd=$(tr '\0' ' ' < "/proc/$pid/cmdline")
       wlog "HANG pid $pid ($pf): $cmd — killing and relaunching"
       kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
@@ -57,7 +72,8 @@ while true; do
       nohup $cmd >> "${out:-/dev/null}" 2>&1 &
       echo $! > "$pf"
       wlog "relaunched as $(cat $pf)"
-      STRIKES[$key]=0; unset "LAST_TICKS[$key]" "LAST_SIZE[$key]"
+      STRIKES[$key]=0
+      unset "LAST_SIZE[$key]"
     fi
   done
 done

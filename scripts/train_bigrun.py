@@ -82,7 +82,11 @@ def main():
         N=6, H=8, d_ff=2048, d_model=512, latent_dim=128, dropout=0.1,
         variational=True, use_cond2dec=False,
         use_cond2lat=(variant in ("pvaetf", "pscavaetf")),
-        get_attn=False, skip_valid=True, fixed_seqlen=80)
+        get_attn=False, skip_valid=True, fixed_seqlen=80,
+        # compact per-epoch checkpoints (full blob every 4th + final):
+        # the full 533 MB gather+serialize through the tunnel costs
+        # ~100 s/epoch — a quarter of the epoch wall
+        ckpt_full_every=4)
 
     done = 0
     if os.path.isdir(args.model_folder):

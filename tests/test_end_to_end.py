@@ -78,6 +78,57 @@ def test_train_sample_eval_roundtrip(workspace, tmp_path):
     assert 0.0 <= v <= 1.0  # 2 epochs on 128 rows: no quality bar
 
 
+def test_compact_checkpoint_cadence(workspace, tmp_path):
+    """ckpt_full_every=3: intermediate epochs store params-only bf16
+    blobs (~1/6 bytes), the final epoch a full resumable blob; both
+    kinds serve the eval loader and the resume path."""
+    root, out = workspace
+    args = types.SimpleNamespace(
+        seed=0, start_epoch=1, num_epoch=3, batch_size=32,
+        property_list=[], model_type="vaetf",
+        model_folder=str(tmp_path / "runc"), use_scaffold=False,
+        randomize_prob=0.0, prepared_folder=str(root / "prepared"),
+        util_folder=str(root / "utils"), debug=True,
+        use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
+        KLA_max_beta=1.0, KLA_beg_epoch=1, lr_scheduler="WarmUpDefault",
+        lr_WarmUpSteps=100, lr=1e-4, lr_beta1=0.9, lr_beta2=0.98,
+        lr_eps=1e-9, n_data_shards=None, n_model_shards=1,
+        compute_dtype="float32", ckpt_full_every=3,
+        N=1, H=4, d_ff=64, d_model=32, latent_dim=8, dropout=0.1,
+        variational=True, use_cond2dec=False, use_cond2lat=False,
+        get_attn=False, skip_valid=True)
+
+    from gctplus_tpu.tasks.train_task import train_task
+    train_task(args)
+
+    run = tmp_path / "runc"
+    from gctplus_tpu.train.loop import load_checkpoint
+    b1 = load_checkpoint(str(run / "model_1.msgpack"))
+    b3 = load_checkpoint(str(run / "model_3.msgpack"))
+    assert "opt_state" not in b1          # compact epoch
+    assert "opt_state" in b3              # full_every hit + final
+    sz1 = os.path.getsize(run / "model_1.msgpack")
+    sz3 = os.path.getsize(run / "model_3.msgpack")
+    assert sz1 < sz3 / 3, (sz1, sz3)
+
+    # resume path accepts a compact newest checkpoint (Adam restarts)
+    (run / "model_3.msgpack").rename(run / "model_3_full.msgpack")
+    args.start_epoch, args.num_epoch = 3, 3
+    train_task(args)
+    assert (run / "model_3.msgpack").exists()
+
+    # eval loader upcasts compact bf16 leaves to the f32 template
+    sargs = types.SimpleNamespace(
+        model_type="vaetf", model_folder=str(run),
+        model_name="model_1.msgpack", util_folder=str(root / "utils"),
+        N=1, H=4, d_ff=64, d_model=32, latent_dim=8, dropout=0.0,
+        property_list=[], max_strlen=40, decode_algo="multinomial",
+        top_k=None, seed=7, batch_size=8)
+    from gctplus_tpu.tasks.common import build_sampler
+    smiles, _ = build_sampler(sargs).sample_smiles(8)
+    assert len(smiles) == 8
+
+
 def test_finetune_with_frozen_encoder(workspace, tmp_path):
     """Fine-tuning workflow (molGCT->GCT-Plus recipe,
     Model/build_model.py:17-39): -use_model_path transfers pretrained
