@@ -62,6 +62,9 @@ class ModelConfig:
     # fused Pallas attention on deterministic multi-token paths
     # (ops/flash_attention.py); XLA fallback elsewhere
     use_pallas_attention: bool = False
+    # fused FFN with HBM-free backward (ops/fused_ffn.py) — the train
+    # hot path's byte-reduction kernel; TPU-only, opt-in
+    use_fused_ffn: bool = False
 
     @property
     def d_k(self) -> int:
@@ -84,7 +87,8 @@ class Encoder(nn.Module):
         self.pe = PositionalEncoding(c.d_model, c.max_seq_len, c.dropout, c.dtype)
         self.layers = [
             EncoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype,
-                         use_pallas=c.use_pallas_attention)
+                         use_pallas=c.use_pallas_attention,
+                         use_fused_ffn=c.use_fused_ffn)
             for _ in range(c.N)
         ]
         self.norm = Norm(c.d_model, dtype=c.dtype)
@@ -174,7 +178,8 @@ class Decoder(nn.Module):
             kernel_init=nn.initializers.glorot_uniform())
         self.layers = [
             DecoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype,
-                         use_pallas=c.use_pallas_attention)
+                         use_pallas=c.use_pallas_attention,
+                         use_fused_ffn=c.use_fused_ffn)
             for _ in range(c.N)
         ]
         self.norm = Norm(c.d_model, dtype=c.dtype)

@@ -223,12 +223,21 @@ class MultiHeadAttention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """Linear -> GELU -> dropout -> Linear (sublayers.py:77-89)."""
+    """Linear -> GELU -> dropout -> Linear (sublayers.py:77-89).
+
+    With use_fused on a TPU backend, apply-time calls route through
+    ops/fused_ffn.py (custom-vjp Pallas kernel whose backward
+    recomputes the (tokens, d_ff) hidden tile-resident in VMEM
+    instead of round-tripping it through HBM — see the train-step
+    roofline in EVIDENCE.md).  Param tree, init, and deterministic
+    numerics are identical to the XLA path; dropout draws its mask
+    from the in-kernel TPU PRNG seeded per (layer-call, tile)."""
 
     d_model: int
     d_ff: int = 2048
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    use_fused: bool = False
 
     def setup(self):
         self.linear_1 = nn.Dense(
@@ -240,6 +249,20 @@ class FeedForward(nn.Module):
         self.drop = nn.Dropout(rate=self.dropout)
 
     def __call__(self, x, deterministic: bool = True):
+        if self.use_fused and not self.is_initializing():
+            from gctplus_tpu.ops.fused_ffn import (fused_ffn,
+                                                   fused_ffn_applicable)
+            if fused_ffn_applicable(self.d_model, self.d_ff):
+                p = self.variables["params"]
+                use_drop = not deterministic and self.dropout > 0.0
+                seed = (jax.random.bits(self.make_rng("dropout"), (1,),
+                                        "uint32").astype(jnp.int32)
+                        if use_drop else jnp.zeros((1,), jnp.int32))
+                return fused_ffn(
+                    x.astype(self.dtype), p["linear_1"]["kernel"],
+                    p["linear_1"]["bias"], p["linear_2"]["kernel"],
+                    p["linear_2"]["bias"], seed, rate=self.dropout,
+                    deterministic=deterministic)
         # torch F.gelu is the exact (erf) gelu.
         x = nn.gelu(self.linear_1(x), approximate=False)
         x = self.drop(x, deterministic=deterministic)
@@ -255,13 +278,15 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_fused_ffn: bool = False
 
     def setup(self):
         self.norm_1 = Norm(self.d_model, dtype=self.dtype)
         self.attn = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
                                        use_pallas=self.use_pallas)
         self.norm_2 = Norm(self.d_model, dtype=self.dtype)
-        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype,
+                              use_fused=self.use_fused_ffn)
         self.drop_1 = nn.Dropout(rate=self.dropout)
         self.drop_2 = nn.Dropout(rate=self.dropout)
 
@@ -292,6 +317,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_fused_ffn: bool = False
 
     def setup(self):
         self.norm_1 = Norm(self.d_model, dtype=self.dtype)
@@ -301,7 +327,8 @@ class DecoderLayer(nn.Module):
         self.attn_2 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
                                          use_pallas=self.use_pallas)
         self.norm_3 = Norm(self.d_model, dtype=self.dtype)
-        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype)
+        self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype,
+                              use_fused=self.use_fused_ffn)
         self.drop_1 = nn.Dropout(rate=self.dropout)
         self.drop_2 = nn.Dropout(rate=self.dropout)
         self.drop_3 = nn.Dropout(rate=self.dropout)

@@ -86,7 +86,10 @@ def main():
         # compact per-epoch checkpoints (full blob every 4th + final):
         # the full 533 MB gather+serialize through the tunnel costs
         # ~100 s/epoch — a quarter of the epoch wall
-        ckpt_full_every=4)
+        ckpt_full_every=4,
+        # fused-FFN train kernel (ops/fused_ffn.py), env-gated so
+        # in-flight runs relaunched by the watchdog keep their program
+        use_fused_ffn=os.environ.get("GCT_FUSED_FFN", "0") == "1")
 
     done = 0
     if os.path.isdir(args.model_folder):
