@@ -215,8 +215,10 @@ def _fused_ffn_bwd(rate, deterministic, tile_rows, tile_rows_bwd,
                    interpret, res, dy):
     # the backward tile is smaller: dW1/dW2 f32 accumulators (8 MB)
     # plus both weight copies stay VMEM-resident, and the recomputed
-    # hidden temps scale with the tile (256 rows blew the 16 MB scoped
-    # vmem limit by 106 KB at the flagship train shape)
+    # hidden temps scale with the tile (per-tile VMEM is independent
+    # of bs/len — only tile_rows x d_ff matters: 256 rows blew the
+    # 16 MB scoped vmem limit by 106 KB and 128 by 36 KB on-chip at
+    # D=512/F=2048; 96 leaves ~1.6 MB of headroom)
     tile_rows = tile_rows_bwd
     x, w1, b1, w2, seed = res
     orig_shape = x.shape
@@ -255,7 +257,7 @@ _fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
 
 def fused_ffn(x, w1, b1, w2, b2, seed, *, rate: float = 0.0,
               deterministic: bool = True, tile_rows: int = 256,
-              tile_rows_bwd: int = 128, interpret: bool = False):
+              tile_rows_bwd: int = 96, interpret: bool = False):
     """Differentiable fused FFN.  x: (..., D); w1: (D, F); b1: (F,);
     w2: (F, D); b2: (D,); seed: (1,) int32 (ignored when deterministic
     or rate == 0).  Gradients are returned in the weights' own dtype
