@@ -104,15 +104,22 @@ def main():
     same_vocab = all(src_vocabs[k].itos == dst_vocabs[k].itos
                      for k in ("src", "trg"))
 
+    with open(src_path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+
+    # architecture comes from the trunk's own embedded hyperparams
+    # (T6 checkpoint layout), flagship defaults when absent
+    mp = blob.get("model_params") or {}
+    dim = lambda k, d: type(d)(mp[k]) if k in mp else d
+
     nconds = 3 if dst_variant in ("pvaetf", "pscavaetf") else 0
     model, cfg = build_model(
         dst_variant, len(dst_vocabs["src"]), len(dst_vocabs["trg"]),
-        N=6, d_model=512, d_ff=2048, heads=8, latent_dim=128, dropout=0.1,
+        N=dim("N", 6), d_model=dim("d_model", 512), d_ff=dim("d_ff", 2048),
+        heads=dim("H", 8), latent_dim=dim("latent_dim", 128),
+        dropout=dim("dropout", 0.1),
         use_cond2dec=False, use_cond2lat=(nconds > 0))
     template = init_params(model, cfg, jax.random.PRNGKey(0))
-
-    with open(src_path, "rb") as f:
-        blob = serialization.msgpack_restore(f.read())
 
     flat_src = _flatten(blob["params"])
     flat_tmpl = _flatten(serialization.to_state_dict(template))
