@@ -133,13 +133,16 @@ def main():
 
     kernel_parity(min(bs, 128), L)
 
-    # build + compile both step programs BEFORE pausing the trainer
+    # build + compile both step programs BEFORE pausing the trainer.
+    # The step donates (state, hist): keep the RETURNED buffers for
+    # timed(), not the originals (passing a donated buffer again
+    # surfaces as an opaque InvalidArgument through the tunnel).
     arms = {}
     for fused in (False, True):
-        arms[fused] = build(fused, bs, L)
-        st, stp, hist, subs, n = arms[fused]
+        st, stp, hist, subs, n = build(fused, bs, L)
         st2, h2 = stp(st, hist, np.int32(0), batch(0, bs, L), 0.1, subs[0])
         np.asarray(h2["LOSS"][0])
+        arms[fused] = (st2, stp, h2, subs, n)
         print(f"compiled use_fused_ffn={fused}", flush=True)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
