@@ -61,11 +61,30 @@ class _pause_tracked_trainers:
                 pass
         return out
 
+    @staticmethod
+    def _own_lineage():
+        """This process plus its ancestors.  A chain script may write
+        its own pid to a pidfile and then launch bench.py as a child;
+        pausing that lineage would SIGSTOP bench itself (observed: the
+        whole pipeline froze mid-round for hours)."""
+        import os
+        lineage, p = set(), os.getpid()
+        while p > 1:
+            lineage.add(p)
+            try:
+                with open(f"/proc/{p}/status") as f:
+                    p = next(int(l.split()[1]) for l in f
+                             if l.startswith("PPid:"))
+            except (OSError, StopIteration):
+                break
+        return lineage
+
     def __enter__(self):
         import glob
         import os
         import signal
         self._paused = []
+        skip = self._own_lineage() | set(self._with_children(os.getpid()))
         for pf in glob.glob("/tmp/train_*.pid"):
             try:
                 pid = int(open(pf).read().strip())
@@ -74,6 +93,9 @@ class _pause_tracked_trainers:
                     OSError):
                 continue
             for p in self._with_children(pid):
+                if p in skip:
+                    _log(f"bench: NOT pausing own lineage pid {p} ({pf})")
+                    continue
                 try:
                     os.kill(p, signal.SIGSTOP)
                     self._paused.append(p)

@@ -130,6 +130,14 @@ def timed(state, step, hist, subs, n_steps, bs, L, fixed=False):
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    # PRNG impl for the step's dropout/latent keys.  The production
+    # recipe is rbg on TPU (train_task auto-default); threefry is the
+    # parity default.  The first A/B ran threefry arms (331.7 vs
+    # 268.0 ms); the decision-relevant pair is rbg-vs-rbg.
+    prng = sys.argv[3] if len(sys.argv) > 3 else "rbg"
+    import jax
+    jax.config.update("jax_default_prng_impl", prng)
+    print(f"prng_impl={prng}", flush=True)
 
     kernel_parity(min(bs, 128), L)
 
