@@ -260,7 +260,17 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
     eval_fn = make_history_eval_step(model, pad_id, use_cond2dec)
     rng = jax.random.PRNGKey(seed)
 
+    # Replay the annealing schedule up to start_epoch so a resumed run
+    # sees the same beta sequence as an uninterrupted one.  The
+    # reference freezes beta at the first value >= KLA_max_beta
+    # (trainer.py:247-248: the recompute is gated on beta < max), so
+    # past the crossing epoch the formula alone OVERSHOOTS (e.g.
+    # 0.02 + 0.02*53 = 1.08 at a resume from epoch 53) — prev_beta
+    # must be reconstructed, not restarted from 0.
     beta = 0.0
+    for prev_epoch in range(1, start_epoch):
+        beta = kl_annealing_beta(prev_epoch, beta, use_KLA, KLA_ini_beta,
+                                 KLA_inc_beta, KLA_beg_epoch, KLA_max_beta)
     for epoch in range(start_epoch, num_epoch + 1):
         train_loader.set_epoch(epoch)
         beta = kl_annealing_beta(epoch, beta, use_KLA, KLA_ini_beta,

@@ -71,6 +71,29 @@ def test_kl_annealer_parity():
     assert betas[3] == 0.08  # frozen after reaching cap
 
 
+def test_kl_annealer_resume_replay_matches_uninterrupted():
+    # The reference freezes beta at the first value >= KLA_max_beta
+    # (trainer.py:247-248); a resumed run must reconstruct prev_beta
+    # by replaying epochs 1..start_epoch-1 (train/loop.py), NOT
+    # restart from 0.0 — the formula alone overshoots the cap past
+    # the crossing epoch (0.02 + 0.02*53 = 1.08 at epoch 53).
+    def replay(start_epoch, end_epoch):
+        beta, seq = 0.0, {}
+        for e in range(1, end_epoch + 1):
+            beta = kl_annealing_beta(e, beta, True, 0.02, 0.02, 1, 1.0)
+            if e >= start_epoch:
+                seq[e] = round(beta, 6)
+        return seq
+
+    uninterrupted = replay(1, 60)
+    resumed = replay(53, 60)
+    assert resumed == {e: uninterrupted[e] for e in range(53, 61)}
+    assert all(b <= 1.0 for b in uninterrupted.values())
+    # the naive restart-from-zero resume is what the replay prevents
+    naive = kl_annealing_beta(53, 0.0, True, 0.02, 0.02, 1, 1.0)
+    assert naive > 1.0  # documents why the replay is required
+
+
 def _tiny_setup(variant="pvaetf"):
     if variant == "vaetf":
         cfg = ModelConfig(src_vocab=20, trg_vocab=20, N=1, d_model=32,
