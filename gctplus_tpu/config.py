@@ -11,13 +11,20 @@ import argparse
 # --- static defaults (Configuration/config_default.py:1-20) -----------
 MAX_STRLEN = 80
 
-PROP_TOLERANCES = {"logP": 0.4, "tPSA": 8.0, "QED": 0.04}
+# Reference Configuration/config_default.py:4 — {'logP': 0.4,
+# 'tPSA': 8, 'QED': 0.03}.  Rounds 1-3 carried a 0.04 QED
+# transcription error; in-tolerance numbers published before round 4
+# were computed at 0.04 (annotated in EVIDENCE.md).
+PROP_TOLERANCES = {"logP": 0.4, "tPSA": 8.0, "QED": 0.03, "SAS": 0.25}
 
-# 27-combination target property grid (config_default.py:7-12)
+# 27-combination target property grid (config_default.py:7-12); the
+# live protocols draw combinations over logP/tPSA/QED only (the
+# reference filters by args.property_list the same way).
 TARGET_PROPS = {
     "logP": [1.0, 2.0, 3.0],
     "tPSA": [30.0, 60.0, 90.0],
     "QED": [0.6, 0.725, 0.85],
+    "SAS": [2.0, 2.75, 3.5],
 }
 
 MOSES_PROP_BOUNDS = {  # Configuration/config.py:77-81

@@ -2,6 +2,8 @@
 decode_check, transfer/freeze params, approximate_z, toklen sampler,
 training plots, profiling counters."""
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -237,3 +239,25 @@ def test_orbax_checkpointer(tmp_path):
                     jax.tree_util.tree_leaves(state.params)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     ck.close()
+
+
+def test_prop_tolerances_match_reference():
+    """Pin the in-tolerance thresholds to the reference's
+    Configuration/config_default.py:4 — a 0.04 QED transcription
+    error survived rounds 1-3 and biased valid/unique_in_tolerance.
+    Parse the reference file directly when present so a future drift
+    on either side fails loudly."""
+    from gctplus_tpu.config import PROP_TOLERANCES, TARGET_PROPS
+
+    assert PROP_TOLERANCES == {
+        "logP": 0.4, "tPSA": 8.0, "QED": 0.03, "SAS": 0.25}
+    assert TARGET_PROPS["QED"] == [0.6, 0.725, 0.85]
+
+    ref = Path("/root/reference/Configuration/config_default.py")
+    if not ref.exists():
+        pytest.skip("reference repo not available")
+    ns = {}
+    exec(ref.read_text(), ns)  # constants-only module
+    assert {k: float(v) for k, v in ns["prop_tolerance"].items()} == \
+        PROP_TOLERANCES
+    assert ns["selected_target_prop"] == TARGET_PROPS
