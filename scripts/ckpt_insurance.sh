@@ -21,9 +21,9 @@ latest_ep() { ls "$1"/model_*.msgpack 2>/dev/null \
 
 while true; do
   sleep "$PERIOD"
-  for run in _work/bigrun/run_*512; do
+  for run in _work/bigrun/run_*; do
     [ -d "$run" ] || continue
-    variant=$(basename "$run" | sed 's/^run_//;s/512$//')
+    variant=$(basename "$run" | sed 's/^run_//;s/512//')
     ep=$(latest_ep "$run")
     [ -n "$ep" ] || continue
     dst="checkpoints/${variant}_620k_latest.msgpack"

@@ -26,13 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _args(workdir, variant, epoch, **kw):
+    suffix = os.environ.get("GCT_RUN_SUFFIX", "")  # experiment arm
     base = dict(
         model_type=variant,
-        model_folder=os.path.join(workdir, f"run_{variant}512"),
+        model_folder=os.path.join(workdir, f"run_{variant}512{suffix}"),
         model_name=f"model_{epoch}.msgpack",
         util_folder=os.path.join(workdir, "utils"),
         data_folder=workdir,
-        save_folder=os.path.join(workdir, f"results_{variant}_{epoch}"),
+        save_folder=os.path.join(
+            workdir, f"results_{variant}{suffix}_{epoch}"),
         property_list=(["logP", "tPSA", "QED"]
                        if variant in ("pvaetf", "pscavaetf") else []),
         max_strlen=80, decode_algo="multinomial", top_k=None, n_jobs=1,
@@ -137,7 +139,10 @@ def main():
                   # compile service costs ~1-2 min per decode program
                   fixed_decode_shapes=True,
                   save_folder=os.path.join(
-                      workdir, f"results_{variant}_{epoch}_{source}"))
+                      workdir,
+                      f"results_{variant}"
+                      f"{os.environ.get('GCT_RUN_SUFFIX', '')}"
+                      f"_{epoch}_{source}"))
         if mode == "sca":
             from gctplus_tpu.tasks.sca_sampling import sca_sampling
             df = sca_sampling(a, scaffold_source, train=train_set)

@@ -66,10 +66,14 @@ while true; do
     fi
     if [ "${STRIKES[$key]:-0}" -ge "$STRIKES_MAX" ]; then
       cmd=$(tr '\0' ' ' < "/proc/$pid/cmdline")
-      wlog "HANG pid $pid ($pf): $cmd — killing and relaunching"
+      # preserve the run's GCT_* knobs (free-bits arm, run suffix,
+      # fused-ffn gate) across the relaunch
+      genv=$(tr '\0' '\n' < "/proc/$pid/environ" 2>/dev/null \
+             | grep '^GCT_' | tr '\n' ' ')
+      wlog "HANG pid $pid ($pf): $genv$cmd — killing and relaunching"
       kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
       sleep 2
-      nohup $cmd >> "${out:-/dev/null}" 2>&1 &
+      env $genv nohup $cmd >> "${out:-/dev/null}" 2>&1 &
       echo $! > "$pf"
       wlog "relaunched as $(cat $pf)"
       STRIKES[$key]=0

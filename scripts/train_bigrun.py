@@ -66,16 +66,23 @@ def main():
     # tokens/s per wall-clock roughly unchanged.
     sca_len = 122 if variant == "pscavaetf" else 128
     bsz = 384 if use_sca else 512
+    # GCT_RUN_SUFFIX names an experiment arm (e.g. "_nofb" for the
+    # free-bits-off continuation) so the flagship run dir stays frozen
+    suffix = os.environ.get("GCT_RUN_SUFFIX", "")
     args = types.SimpleNamespace(
         seed=0, start_epoch=1, num_epoch=epochs, batch_size=bsz,
         property_list=props, model_type=variant,
-        model_folder=os.path.join(workdir, f"run_{variant}512"),
+        model_folder=os.path.join(workdir, f"run_{variant}512{suffix}"),
         use_scaffold=use_sca, scaffold_fixed_len=sca_len,
         randomize_prob=0.0,
         prepared_folder=os.path.join(workdir, "prepared"),
         util_folder=os.path.join(workdir, "utils"), debug=False,
         use_KLA=True, KLA_ini_beta=0.02, KLA_inc_beta=0.02,
-        KLA_max_beta=1.0, KLA_beg_epoch=1, KLA_free_bits=0.05,
+        KLA_max_beta=1.0, KLA_beg_epoch=1,
+        # free bits (default 0.05) is the one recipe delta from the
+        # reference; GCT_FREE_BITS=0 runs the exact-reference ELBO
+        # (round-4 psca-validity root-cause arm)
+        KLA_free_bits=float(os.environ.get("GCT_FREE_BITS", "0.05")),
         lr_scheduler="WarmUpDefault", lr_WarmUpSteps=4000, lr=1e-4,
         lr_beta1=0.9, lr_beta2=0.98, lr_eps=1e-9,
         n_data_shards=1, n_model_shards=1, compute_dtype="bfloat16",
@@ -88,8 +95,12 @@ def main():
         # ~100 s/epoch — a quarter of the epoch wall
         ckpt_full_every=4,
         # fused-FFN train kernel (ops/fused_ffn.py), env-gated so
-        # in-flight runs relaunched by the watchdog keep their program
-        use_fused_ffn=os.environ.get("GCT_FUSED_FFN", "0") == "1")
+        # in-flight runs relaunched by the watchdog keep their program.
+        # Default ON since the round-4 on-chip A/B: 234.5 vs 242.7
+        # ms/step at the flagship shape (rbg PRNG, bs=512, donation) —
+        # a 3.4% win with verified numeric parity (scripts/
+        # probe_ffn_ab.py, EVIDENCE.md)
+        use_fused_ffn=os.environ.get("GCT_FUSED_FFN", "1") == "1")
 
     done = 0
     if os.path.isdir(args.model_folder):
