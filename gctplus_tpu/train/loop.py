@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import serialization
 
-from gctplus_tpu.train.loss import kl_annealing_beta
+from gctplus_tpu.train.loss import kl_annealing_beta, replay_beta
 from gctplus_tpu.train.schedule import make_optimizer
 from gctplus_tpu.train.trainer import (HISTORY_KEYS, TrainState,
                                        make_history_eval_step,
@@ -261,16 +261,15 @@ def train_model(model, cfg, params, train_loader, valid_loader, *,
     rng = jax.random.PRNGKey(seed)
 
     # Replay the annealing schedule up to start_epoch so a resumed run
-    # sees the same beta sequence as an uninterrupted one.  The
-    # reference freezes beta at the first value >= KLA_max_beta
-    # (trainer.py:247-248: the recompute is gated on beta < max), so
-    # past the crossing epoch the formula alone OVERSHOOTS (e.g.
-    # 0.02 + 0.02*53 = 1.08 at a resume from epoch 53) — prev_beta
-    # must be reconstructed, not restarted from 0.
-    beta = 0.0
-    for prev_epoch in range(1, start_epoch):
-        beta = kl_annealing_beta(prev_epoch, beta, use_KLA, KLA_ini_beta,
-                                 KLA_inc_beta, KLA_beg_epoch, KLA_max_beta)
+    # sees the same beta sequence as an uninterrupted one (see
+    # loss.py::replay_beta for why the closed form overshoots).
+    beta = replay_beta(start_epoch, use_KLA, KLA_ini_beta,
+                       KLA_inc_beta, KLA_beg_epoch, KLA_max_beta)
+    if log and start_epoch > 1:
+        # visible marker: if the run's KLA settings changed since
+        # epoch 1, this replayed value never actually happened
+        log.info(f"resume: replayed KLA schedule to epoch "
+                 f"{start_epoch - 1} (prev_beta={beta:.3f})")
     for epoch in range(start_epoch, num_epoch + 1):
         train_loader.set_epoch(epoch)
         beta = kl_annealing_beta(epoch, beta, use_KLA, KLA_ini_beta,

@@ -30,6 +30,27 @@ def kl_annealing_beta(epoch: int, prev_beta: float, use_KLA: bool = True,
     return float(beta)
 
 
+def replay_beta(start_epoch: int, use_KLA: bool = True,
+                ini_beta: float = 0.02, inc_beta: float = 0.02,
+                beg_epoch: int = 1, max_beta: float = 1.0) -> float:
+    """Reconstruct prev_beta as of the start of `start_epoch` by
+    replaying the annealing schedule over epochs 1..start_epoch-1.
+
+    The reference freezes beta at the first value >= KLA_max_beta
+    (Train/trainer1.py:171-176: the recompute is gated on
+    beta < max), so past the crossing epoch the closed-form formula
+    alone OVERSHOOTS (e.g. 0.02 + 0.02*53 = 1.08 at a resume from
+    epoch 53) — prev_beta must be replayed, not recomputed.  Assumes
+    the annealing hyperparameters were identical from epoch 1; the
+    caller should log the replayed value so a changed-settings resume
+    is visible in the training log."""
+    beta = 0.0
+    for prev_epoch in range(1, start_epoch):
+        beta = kl_annealing_beta(prev_epoch, beta, use_KLA, ini_beta,
+                                 inc_beta, beg_epoch, max_beta)
+    return beta
+
+
 def elbo_loss(logits_mol, trg_labels, mu, log_var, beta, pad_id: int,
               logits_prop=None, trg_props=None, label_smoothing: float = 0.0,
               free_bits: float = 0.0) -> Tuple[jnp.ndarray, dict]:

@@ -74,20 +74,26 @@ def test_kl_annealer_parity():
 def test_kl_annealer_resume_replay_matches_uninterrupted():
     # The reference freezes beta at the first value >= KLA_max_beta
     # (trainer.py:247-248); a resumed run must reconstruct prev_beta
-    # by replaying epochs 1..start_epoch-1 (train/loop.py), NOT
-    # restart from 0.0 — the formula alone overshoots the cap past
-    # the crossing epoch (0.02 + 0.02*53 = 1.08 at epoch 53).
-    def replay(start_epoch, end_epoch):
-        beta, seq = 0.0, {}
-        for e in range(1, end_epoch + 1):
+    # by replaying epochs 1..start_epoch-1, NOT restart from 0.0 —
+    # the formula alone overshoots the cap past the crossing epoch
+    # (0.02 + 0.02*53 = 1.08 at epoch 53).  Exercises the ACTUAL
+    # production replay helper (loss.py::replay_beta, called by
+    # train/loop.py::train_model at resume).
+    from gctplus_tpu.train.loss import replay_beta
+
+    def betas_from(start_epoch, end_epoch):
+        beta = replay_beta(start_epoch, True, 0.02, 0.02, 1, 1.0)
+        seq = {}
+        for e in range(start_epoch, end_epoch + 1):
             beta = kl_annealing_beta(e, beta, True, 0.02, 0.02, 1, 1.0)
-            if e >= start_epoch:
-                seq[e] = round(beta, 6)
+            seq[e] = round(beta, 6)
         return seq
 
-    uninterrupted = replay(1, 60)
-    resumed = replay(53, 60)
-    assert resumed == {e: uninterrupted[e] for e in range(53, 61)}
+    uninterrupted = betas_from(1, 60)
+    for resume_at in (2, 49, 50, 51, 53):  # incl. the cap crossing
+        resumed = betas_from(resume_at, 60)
+        assert resumed == {e: uninterrupted[e]
+                           for e in range(resume_at, 61)}, resume_at
     assert all(b <= 1.0 for b in uninterrupted.values())
     # the naive restart-from-zero resume is what the replay prevents
     naive = kl_annealing_beta(53, 0.0, True, 0.02, 0.02, 1, 1.0)
