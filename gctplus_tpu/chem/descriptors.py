@@ -702,10 +702,13 @@ def set_sa_fragment_scores(scores: Optional[Dict[str, float]]) -> None:
     _SA_FRAGMENT_SCORES = scores
 
 
-def SAS(mol: Mol) -> float:
+def sas_from_fragment_score(mol: Mol, frag_score: float) -> float:
+    """Ertl's complexity penalties + 1..10 mapping applied to a
+    fragment-frequency term. Shared by the in-repo SAS (corpus-derived
+    or fallback fragment term) and the artifact-backed scorer
+    (chem/sas_artifact.py, published fpscores table)."""
     n = mol.num_atoms()
     rings = mol.ring_info()
-    ring_atoms = set(a for r in rings for a in r)
     n_macro = sum(1 for r in rings if len(r) > 8)
     n_spiro = _n_spiro(mol, rings)
     n_bridge = _n_bridgehead(mol, rings)
@@ -717,13 +720,6 @@ def SAS(mol: Mol) -> float:
     bridge_penalty = math.log10(n_bridge + 1)
     macro_penalty = math.log10(2) if n_macro > 0 else 0.0
 
-    if _SA_FRAGMENT_SCORES:
-        from gctplus_tpu.chem.sa_fragments import fragment_score
-        frag_score = fragment_score(mol, _SA_FRAGMENT_SCORES)
-    else:
-        # no fragment table loaded: smooth density prior fallback
-        frag_score = 1.5 - 0.02 * max(0, n - 20)
-
     # raw score: common fragments push positive (easy), complexity
     # penalties push negative (hard) — Ertl's score1 - score2 shape
     score = (frag_score - size_penalty - stereo_penalty - spiro_penalty
@@ -734,6 +730,16 @@ def SAS(mol: Mol) -> float:
     if sa > 8.0:
         sa = 8.0 + math.log(sa + 1.0 - 9.0)
     return float(min(10.0, max(1.0, sa)))
+
+
+def SAS(mol: Mol) -> float:
+    if _SA_FRAGMENT_SCORES:
+        from gctplus_tpu.chem.sa_fragments import fragment_score
+        frag_score = fragment_score(mol, _SA_FRAGMENT_SCORES)
+    else:
+        # no fragment table loaded: smooth density prior fallback
+        frag_score = 1.5 - 0.02 * max(0, mol.num_atoms() - 20)
+    return sas_from_fragment_score(mol, frag_score)
 
 
 def _n_spiro(mol: Mol, rings) -> int:

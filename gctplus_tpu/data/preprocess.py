@@ -128,9 +128,10 @@ def preprocess(save_folder: str,
         table_smiles = table_smiles.sample(
             n=score_table_max, random_state=seed)
     from gctplus_tpu.chem.sa_fragments import (
-        build_fragment_scores, save_fragment_scores)
-    sa_scores = build_fragment_scores(table_smiles, n_jobs=n_jobs)
-    save_fragment_scores(sa_scores, os.path.join(util, "sa_fragments.json"))
+        build_fragment_scores_v2, save_fragment_scores)
+    sa_scores = build_fragment_scores_v2(table_smiles, n_jobs=n_jobs)
+    save_fragment_scores(
+        sa_scores, os.path.join(util, "sa_fragments_v2.json"))
 
     # corpus-derived NP contribution table (chem/np_score.py) — the
     # offline analog of moses' NP_Score artifact (single-corpus mode)

@@ -40,7 +40,11 @@ def load_toklen(util_folder: str) -> np.ndarray:
 def load_sa_fragments(util_folder: str) -> None:
     """Activate the corpus-derived SA fragment and NP contribution
     tables when present."""
-    path = os.path.join(util_folder, "sa_fragments.json")
+    # prefer the v2 multi-radius table (closer to the published
+    # fpscores keying — see chem/sa_fragments.py::build_fragment_scores_v2)
+    path = os.path.join(util_folder, "sa_fragments_v2.json")
+    if not os.path.exists(path):
+        path = os.path.join(util_folder, "sa_fragments.json")
     if os.path.exists(path):
         from gctplus_tpu.chem.descriptors import set_sa_fragment_scores
         from gctplus_tpu.chem.sa_fragments import load_fragment_scores

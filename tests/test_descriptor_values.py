@@ -98,3 +98,63 @@ def test_sas_monotone_complexity():
     simple = mol_from_smiles("CCO")
     complex_ = mol_from_smiles("CC1(C)C2CCC1(C)C(=O)C2")  # camphor-like
     assert SAS(simple) < SAS(complex_)
+
+
+def test_fpscores_artifact_loader_roundtrip(tmp_path):
+    """chem/sas_artifact.py parses the published fpscores layout
+    (gzip pickle of [[score, bitid, ...], ...]) — surrogate-tested
+    like eval/fcd.py's artifact path (reference consumes the real one
+    via moses' sascorer, Utils/properties.py:58-66)."""
+    from gctplus_tpu.chem.sas_artifact import load_fpscores, save_fpscores
+
+    p = str(tmp_path / "fpscores.pkl.gz")
+    save_fpscores([[1.5, 11, 22], [-2.0, 33]], p)
+    assert load_fpscores(p) == {11: 1.5, 22: 1.5, 33: -2.0}
+    # expanded-dict form also accepted (user-converted artifacts)
+    import gzip
+    import pickle
+    p2 = str(tmp_path / "expanded.pkl.gz")
+    with gzip.open(p2, "wb") as f:
+        pickle.dump({7: 0.25}, f)
+    assert load_fpscores(p2) == {7: 0.25}
+    with pytest.raises(FileNotFoundError, match="GCTPLUS_FPSCORES"):
+        load_fpscores(str(tmp_path / "missing.pkl.gz"))
+
+
+def test_sas_standin_rank_agreement():
+    """Quantified fidelity of the SAS stand-in (no fragment table):
+    rank agreement with an unambiguous difficulty ordering. The
+    measured values are recorded in EVIDENCE.md."""
+    from gctplus_tpu.chem import descriptors
+    from gctplus_tpu.chem.sas_artifact import standin_agreement
+
+    descriptors.set_sa_fragment_scores(None)
+    stats = standin_agreement()
+    assert stats["n"] == 10
+    assert stats["spearman_vs_tiers"] >= 0.7
+    assert stats["tier0_mean"] < stats["tier2_mean"]
+
+
+def test_sas_fragment_table_v2_multi_radius():
+    """v2 tables key ALL radii 0..2 (published-fpscores-like), so
+    small molecules score by their own fragment frequency instead of
+    UNSEEN_SCORE; v1 (final-radius) tables still load."""
+    from gctplus_tpu.chem import descriptors
+    from gctplus_tpu.chem.sa_fragments import (
+        V2_MARKER, build_fragment_scores, build_fragment_scores_v2,
+        fragment_score)
+
+    corpus = ["CCO", "CCN", "CCOC", "c1ccccc1", "CC(=O)O", "CCCO"] * 5
+    v1 = build_fragment_scores(corpus)
+    v2 = build_fragment_scores_v2(corpus)
+    assert V2_MARKER in v2 and V2_MARKER not in v1
+    ethanol = mol_from_smiles("CCO")
+    # v2 must score in-corpus small molecules well above UNSEEN
+    assert fragment_score(ethanol, v2) > 0.0
+    try:
+        descriptors.set_sa_fragment_scores(v2)
+        easy = SAS(mol_from_smiles("CCO"))
+        hard = SAS(mol_from_smiles("CC1(C)C2CCC1(C)C(=O)C2"))
+        assert easy < hard
+    finally:
+        descriptors.set_sa_fragment_scores(None)
