@@ -838,3 +838,25 @@ def props_row(smiles: str, props) -> Optional[list]:
     if mol is None:
         return None
     return [PROPERTY_FN[p](mol) for p in props]
+
+
+def props_rows(smiles, props, n_jobs: int = 1) -> List[Optional[list]]:
+    """Batch property sweep: one call into the native C++ kernel
+    (gct_chem_props_batch — an equivalence port of this module, exact
+    float match asserted in tests/test_native_chem.py, ~8x the
+    per-molecule Python path) with per-row Python fallback. Same
+    return shape as [props_row(s, props) for s in smiles]."""
+    smiles = list(smiles)
+    from gctplus_tpu.native import (CHEM_FALLBACK, NATIVE_PROP_CODES,
+                                    native_props_batch)
+    if all(p in NATIVE_PROP_CODES for p in props):
+        out = native_props_batch(smiles, list(props))
+        if out is not CHEM_FALLBACK:
+            vals, status = out
+            return [vals[i].tolist() if st == 1
+                    else (None if st == 0 else props_row(smiles[i], props))
+                    for i, st in enumerate(status)]
+    from functools import partial
+
+    from gctplus_tpu.chem.mapper import pmap
+    return pmap(partial(props_row, props=props), smiles, n_jobs)

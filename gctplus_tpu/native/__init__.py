@@ -121,6 +121,11 @@ def _load_chem() -> Optional[ctypes.CDLL]:
         lib.gct_chem_parse.restype = ctypes.c_int
         lib.gct_chem_parse.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.gct_chem_props_batch.restype = None
+        lib.gct_chem_props_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int8)]
         _chem_lib = lib
         return _chem_lib
 
@@ -183,6 +188,39 @@ def native_morgan(smiles: str, n_bits: int = 1024, radius: int = 2):
     if rc == -2:
         return CHEM_FALLBACK
     return out if rc == 1 else None
+
+
+# property codes shared with gct_chem_props_batch (chem.cpp)
+NATIVE_PROP_CODES = {
+    "logP": 0, "tPSA": 1, "QED": 2, "MW": 3, "HBD": 4, "RBN": 5,
+    "ARRN": 6, "AIRN": 7, "HAC": 8, "QED_HBA": 9, "ALERTS": 10,
+}
+
+
+def native_props_batch(smiles: Sequence[str], props: Sequence[str]):
+    """Batch molecular properties in C++ (equivalence port of
+    chem/descriptors.py — see tests/test_native_chem.py).
+
+    Returns (values float64 [n, len(props)], status int8 [n]) where
+    status is 1 ok, 0 invalid, -2 fall back to Python for that row;
+    or CHEM_FALLBACK when the kernel or a property is unavailable."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    try:
+        codes = np.asarray([NATIVE_PROP_CODES[p] for p in props],
+                           np.int32)
+    except KeyError:
+        return CHEM_FALLBACK
+    n = len(smiles)
+    vals = np.zeros((n, len(props)), np.float64)
+    status = np.zeros(n, np.int8)
+    arr = (ctypes.c_char_p * n)(*[s.encode() for s in smiles])
+    lib.gct_chem_props_batch(
+        arr, n, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(props), vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return vals, status
 
 
 _CHIRAL = {0: None, 1: "@", 2: "@@"}

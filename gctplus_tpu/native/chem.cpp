@@ -18,6 +18,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC chem.cpp -o libgctchem.so
 // (native/__init__.py builds on first use, with Python fallback).
 
+#include <cmath>
 #include <algorithm>
 #include <array>
 #include <cctype>
@@ -29,6 +30,7 @@
 #include <map>
 #include <set>
 #include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -1463,6 +1465,670 @@ void path_bits(const Mol& mol, uint8_t* out, int n_bits, int max_len) {
 
 // -------------------------------------------------------------- C API
 
+
+// ===========================================================================
+// descriptors — equivalence port of chem/descriptors.py (logP / tPSA /
+// QED and their component counts). The Python module is the oracle
+// (tests/test_native_chem.py asserts float equality over a corpus
+// sample); reference behavior is RDKit Descriptors via
+// Utils/properties.py:33-101.
+// ===========================================================================
+
+namespace desc {
+
+inline std::vector<const Bond*> bonds_of(const Mol& mol, int i) {
+  std::vector<const Bond*> out;
+  out.reserve(mol.adj[i].size());
+  for (int bi : mol.adj[i]) out.push_back(&mol.bonds[bi]);
+  return out;
+}
+
+inline double aw(const std::string& s) {
+  static const std::unordered_map<std::string, double> W = {
+      {"H", 1.008},  {"B", 10.811},  {"C", 12.011},  {"N", 14.007},
+      {"O", 15.999}, {"F", 18.998},  {"Na", 22.990}, {"Mg", 24.305},
+      {"Si", 28.086},{"P", 30.974},  {"S", 32.065},  {"Cl", 35.453},
+      {"K", 39.098}, {"Ca", 40.078}, {"Br", 79.904}, {"I", 126.904},
+      {"Se", 78.971},{"Zn", 65.38},  {"Fe", 55.845}};
+  auto it = W.find(s);
+  return it == W.end() ? 0.0 : it->second;
+}
+
+inline double mw(const Mol& mol) {
+  double w = 0.0;
+  for (const Atom& a : mol.atoms) w += aw(a.symbol) + a.n_h * 1.008;
+  return w;
+}
+
+inline int hbd(const Mol& mol) {
+  int c = 0;
+  for (const Atom& a : mol.atoms)
+    if ((a.symbol == "N" || a.symbol == "O") && a.n_h > 0) c++;
+  return c;
+}
+
+inline bool is_amide_n(const Mol& mol, int i) {
+  for (int nb : mol.neighbors(i)) {
+    const Atom& a = mol.atoms[nb];
+    if (a.symbol == "C" || a.symbol == "S") {
+      for (const Bond* b : bonds_of(mol, nb)) {
+        const Atom& o = mol.atoms[b->other(nb)];
+        if (b->order2 == 4 && o.symbol == "O") return true;
+      }
+    }
+  }
+  return false;
+}
+
+inline bool has_triple(const Mol& mol, int i) {
+  for (const Bond* b : bonds_of(mol, i))
+    if (b->order2 == 6) return true;
+  return false;
+}
+
+inline bool is_amide_c(const Mol& mol, int c_idx) {
+  const Atom& a = mol.atoms[c_idx];
+  if (a.symbol != "C") return false;
+  for (const Bond* b : bonds_of(mol, c_idx))
+    if (b->order2 == 4 && mol.atoms[b->other(c_idx)].symbol == "O")
+      return true;
+  return false;
+}
+
+inline std::set<int> ring_bond_set(const Mol& mol) {
+  std::set<int> rb;
+  for (const auto& ring : mol.rings) {
+    int L = (int)ring.size();
+    for (int k = 0; k < L; k++) {
+      const Bond* b = mol.get_bond(ring[k], ring[(k + 1) % L]);
+      if (b) rb.insert((int)(b - &mol.bonds[0]));
+    }
+  }
+  return rb;
+}
+
+inline int rbn(const Mol& mol) {
+  std::set<int> rb = ring_bond_set(mol);
+  int cnt = 0;
+  for (int bi = 0; bi < (int)mol.bonds.size(); bi++) {
+    const Bond& b = mol.bonds[bi];
+    if (b.order2 != 2 || b.aromatic || rb.count(bi)) continue;
+    const Atom& a1 = mol.atoms[b.a1];
+    const Atom& a2 = mol.atoms[b.a2];
+    if ((int)mol.adj[b.a1].size() < 2 || (int)mol.adj[b.a2].size() < 2)
+      continue;
+    if (has_triple(mol, b.a1) || has_triple(mol, b.a2)) continue;
+    if ((a1.symbol == "N" && is_amide_c(mol, b.a2)) ||
+        (a2.symbol == "N" && is_amide_c(mol, b.a1)))
+      continue;
+    cnt++;
+  }
+  return cnt;
+}
+
+inline int arrn(const Mol& mol) {
+  int cnt = 0;
+  for (const auto& ring : mol.rings) {
+    bool all_arom = true;
+    for (int a : ring)
+      if (!mol.atoms[a].aromatic) { all_arom = false; break; }
+    if (all_arom) cnt++;
+  }
+  return cnt;
+}
+
+inline int airn(const Mol& mol) {
+  return (int)mol.rings.size() - arrn(mol);
+}
+
+inline bool in_three_ring(const Mol& mol, int i) {
+  std::vector<int> nbrs = mol.neighbors(i);
+  for (size_t x = 0; x < nbrs.size(); x++)
+    for (size_t y = x + 1; y < nbrs.size(); y++)
+      if (mol.get_bond(nbrs[x], nbrs[y])) return true;
+  return false;
+}
+
+// key: (is_N, aromatic, charge, nH, n_single, n_double, n_triple,
+//       n_aromatic_bonds, in_3ring) -> Angstrom^2 (Ertl 2000 Table 1)
+struct TpsaRow {
+  char sym; bool arom; int q, h, ns, nd, nt, na; bool r3; double v;
+};
+static const TpsaRow TPSA_TABLE[] = {
+    {'N', false, 0, 0, 3, 0, 0, 0, false, 3.24},
+    {'N', false, 0, 0, 1, 1, 0, 0, false, 12.36},
+    {'N', false, 0, 0, 0, 0, 1, 0, false, 23.79},
+    {'N', false, 0, 0, 1, 2, 0, 0, false, 11.68},
+    {'N', false, 0, 0, 0, 1, 1, 0, false, 13.60},
+    {'N', false, 0, 0, 3, 0, 0, 0, true, 3.01},
+    {'N', false, 0, 1, 2, 0, 0, 0, false, 12.03},
+    {'N', false, 0, 1, 2, 0, 0, 0, true, 21.94},
+    {'N', false, 0, 1, 0, 1, 0, 0, false, 23.85},
+    {'N', false, 0, 2, 1, 0, 0, 0, false, 26.02},
+    {'N', false, 1, 0, 4, 0, 0, 0, false, 0.00},
+    {'N', false, 1, 0, 2, 1, 0, 0, false, 3.01},
+    {'N', false, 1, 0, 1, 0, 1, 0, false, 4.36},
+    {'N', false, 1, 1, 3, 0, 0, 0, false, 4.44},
+    {'N', false, 1, 1, 1, 1, 0, 0, false, 13.97},
+    {'N', false, 1, 2, 2, 0, 0, 0, false, 16.61},
+    {'N', false, 1, 2, 0, 1, 0, 0, false, 25.59},
+    {'N', false, 1, 3, 1, 0, 0, 0, false, 27.64},
+    {'N', true, 0, 0, 0, 0, 0, 2, false, 12.89},
+    {'N', true, 0, 0, 0, 0, 0, 3, false, 4.41},
+    {'N', true, 0, 0, 1, 0, 0, 2, false, 4.93},
+    {'N', true, 0, 0, 0, 1, 0, 2, false, 8.39},
+    {'N', true, 0, 1, 0, 0, 0, 2, false, 15.79},
+    {'N', true, 1, 0, 0, 0, 0, 3, false, 4.10},
+    {'N', true, 1, 0, 1, 0, 0, 2, false, 3.88},
+    {'N', true, 1, 1, 0, 0, 0, 2, false, 14.14},
+    {'O', false, 0, 0, 2, 0, 0, 0, false, 9.23},
+    {'O', false, 0, 0, 2, 0, 0, 0, true, 12.53},
+    {'O', false, 0, 0, 0, 1, 0, 0, false, 17.07},
+    {'O', false, 0, 1, 1, 0, 0, 0, false, 20.23},
+    {'O', false, -1, 0, 1, 0, 0, 0, false, 23.06},
+    {'O', true, 0, 0, 0, 0, 0, 2, false, 13.14},
+};
+
+inline double tpsa(const Mol& mol) {
+  double psa = 0.0;
+  for (const Atom& a : mol.atoms) {
+    if (a.symbol != "N" && a.symbol != "O") continue;
+    int i = (int)(&a - &mol.atoms[0]);
+    int na = 0, ns = 0, nd = 0, nt = 0;
+    for (const Bond* b : bonds_of(mol, i)) {
+      if (b->aromatic) na++;
+      else if (b->order2 == 2) ns++;
+      else if (b->order2 == 4) nd++;
+      else if (b->order2 == 6) nt++;
+    }
+    bool r3 = in_three_ring(mol, i);
+    double contrib = -1.0;
+    bool found = false;
+    for (const TpsaRow& row : TPSA_TABLE) {
+      if (row.sym == a.symbol[0] && row.arom == a.aromatic &&
+          row.q == a.charge && row.h == a.n_h && row.ns == ns &&
+          row.nd == nd && row.nt == nt && row.na == na && row.r3 == r3) {
+        contrib = row.v;
+        found = true;
+        break;
+      }
+    }
+    if (!found) {
+      int x = (int)mol.adj[i].size() + a.n_h;
+      if (a.symbol == "N")
+        contrib = std::max(0.0, 30.5 - x * 8.2 + a.n_h * 1.5);
+      else
+        contrib = std::max(0.0, 28.5 - x * 8.6 + a.n_h * 1.5);
+    }
+    psa += contrib;
+  }
+  return psa;
+}
+
+// --- Wildman-Crippen (1999) typing; constants from the published
+// table (same as RDKit Data/Crippen.txt) --------------------------------
+inline double crippen_value(const char* t) {
+  static const std::unordered_map<std::string, double> V = {
+      {"C1", 0.1441},  {"C2", 0.0000},   {"C3", -0.2035}, {"C4", -0.2051},
+      {"C5", -0.2783}, {"C6", 0.1551},   {"C7", 0.0017},  {"C8", 0.08452},
+      {"C9", -0.1444}, {"C10", -0.0516}, {"C11", 0.1193}, {"C12", -0.0967},
+      {"C13", -0.5443},{"C14", 0.0000},  {"C15", 0.2450}, {"C16", 0.1980},
+      {"C17", 0.0000}, {"C18", 0.1581},  {"C19", 0.2955}, {"C20", 0.2713},
+      {"C21", 0.1360}, {"C22", 0.4619},  {"C23", 0.5437}, {"C24", 0.1893},
+      {"C25", -0.8186},{"C26", 0.2640},  {"C27", 0.2148}, {"CS", 0.08129},
+      {"H1", 0.1230},  {"H2", -0.2677},  {"H3", 0.2142},  {"H4", 0.2980},
+      {"HS", 0.1125},
+      {"N1", -1.0190}, {"N2", -0.7096},  {"N3", -1.0270}, {"N4", -0.5188},
+      {"N5", 0.08387}, {"N6", 0.1836},   {"N7", -0.3187}, {"N8", -0.4458},
+      {"N9", 0.01508}, {"N10", -1.9500}, {"N11", -0.3239},{"N12", -1.1190},
+      {"N13", -0.3396},{"N14", 0.2887},  {"NS", -0.4806},
+      {"O1", 0.1552},  {"O2", -0.2893},  {"O3", -0.0684}, {"O4", -0.4195},
+      {"O5", 0.0335},  {"O6", -0.3339},  {"O7", -1.1890}, {"O8", 0.1788},
+      {"O9", -0.1526}, {"O10", 0.1129},  {"O11", 0.4833}, {"O12", -1.3260},
+      {"OS", -0.1188},
+      {"F", 0.4202},   {"Cl", 0.6895},   {"Br", 0.8456},  {"I", 0.8857},
+      {"Hal", -2.9960},{"P", 0.8612},
+      {"S1", 0.6482},  {"S2", -0.0024},  {"S3", 0.6237},
+      {"Me1", -0.3808},{"Me2", -0.0025}};
+  return V.at(t);
+}
+
+inline bool c34_hetero(const std::string& s) {
+  return s == "N" || s == "O" || s == "P" || s == "S" || s == "F" ||
+         s == "Cl" || s == "Br" || s == "I";
+}
+inline bool normal_elem(const std::string& s) {
+  return s == "C" || c34_hetero(s);
+}
+inline bool me1_elem(const std::string& s) {
+  static const std::set<std::string> M = {
+      "Li", "Na", "K",  "Rb", "Cs", "Be", "Mg", "Ca", "Sr", "Ba",
+      "B",  "Al", "Ga", "In", "Tl", "Si", "Ge", "Sn", "Pb",
+      "As", "Sb", "Bi", "Se", "Te", "Po"};
+  return M.count(s) > 0;
+}
+
+inline const char* type_carbon(const Mol& mol, const Atom& a, int i) {
+  std::vector<const Bond*> bonds = bonds_of(mol, i);
+  std::vector<const Atom*> nbrs;
+  for (int j : mol.neighbors(i)) nbrs.push_back(&mol.atoms[j]);
+  int h = a.n_h;
+
+  if (a.aromatic) {
+    if (h > 0) return "C18";
+    int n_arom_bonds = 0;
+    for (const Bond* b : bonds)
+      if (b->aromatic) n_arom_bonds++;
+    const Atom* sub = nullptr;
+    const Bond* sub_bond = nullptr;
+    for (const Bond* b : bonds)
+      if (!b->aromatic) { sub = &mol.atoms[b->other(i)]; sub_bond = b; }
+    if (!sub) return n_arom_bonds >= 3 ? "C19" : "CS";
+    if (sub_bond->order2 == 4)
+      return (sub->symbol == "C" || sub->symbol == "N" ||
+              sub->symbol == "O") ? "C25" : "CS";
+    if (!sub->aromatic && !normal_elem(sub->symbol)) return "C13";
+    if (sub->symbol == "F" && !sub->aromatic) return "C14";
+    if (sub->symbol == "Cl") return "C15";
+    if (sub->symbol == "Br") return "C16";
+    if (sub->symbol == "I") return "C17";
+    if (n_arom_bonds >= 3) return "C19";
+    if (sub->aromatic) return "C20";
+    if (sub->symbol == "C") return "C21";
+    if (sub->symbol == "N") return "C22";
+    if (sub->symbol == "O") return "C23";
+    if (sub->symbol == "S") return "C24";
+    return "CS";
+  }
+
+  bool has_double = false, has_trip = false;
+  for (const Bond* b : bonds) {
+    if (b->order2 == 4) has_double = true;
+    if (b->order2 == 6) has_trip = true;
+  }
+
+  if (!has_double && !has_trip) {
+    bool aliph_het = false, arom_any = false, arom_c = false, weird = false;
+    int aliph_c = 0;
+    for (const Atom* x : nbrs) {
+      if (!x->aromatic && c34_hetero(x->symbol)) aliph_het = true;
+      if (!x->aromatic && x->symbol == "C") aliph_c++;
+      if (x->aromatic) {
+        arom_any = true;
+        if (x->symbol == "C") arom_c = true;
+      }
+      if (!x->aromatic && !normal_elem(x->symbol)) weird = true;
+    }
+    if (h >= 3) {
+      if (nbrs.empty() || aliph_c > 0) return "C1";
+      if (aliph_het) return "C3";
+      if (arom_c) return "C8";
+      if (arom_any) return "C9";
+      return weird ? "C27" : "CS";
+    }
+    if (h == 2) {
+      if (aliph_het) return "C3";
+      if (aliph_c == (int)nbrs.size()) return "C1";
+      if (arom_any) return "C10";
+      return weird ? "C27" : "CS";
+    }
+    if (h == 1) {
+      if (aliph_c == (int)nbrs.size()) return "C2";
+      if (aliph_het) return "C4";
+      if (arom_any) return "C11";
+      return weird ? "C27" : "CS";
+    }
+    if (aliph_c == (int)nbrs.size() && nbrs.size() == 4) return "C2";
+    if (aliph_het) return "C4";
+    if (arom_any) return "C12";
+    return weird ? "C27" : "CS";
+  }
+
+  std::vector<const Atom*> dbl_partners;
+  for (const Bond* b : bonds)
+    if (b->order2 == 4) dbl_partners.push_back(&mol.atoms[b->other(i)]);
+  for (const Atom* x : dbl_partners)
+    if (!x->aromatic && x->symbol != "C") return "C5";
+  if (has_trip) {
+    if ((int)nbrs.size() <= 2) {
+      for (const Bond* b : bonds)
+        if (b->order2 == 6 && !mol.atoms[b->other(i)].aromatic)
+          return "C7";
+    }
+    return "CS";
+  }
+  bool arom_dbl = false;
+  for (const Atom* x : dbl_partners)
+    if (x->aromatic) arom_dbl = true;
+  std::vector<const Atom*> singles;
+  for (const Bond* b : bonds)
+    if (b->order2 == 2 && !b->aromatic)
+      singles.push_back(&mol.atoms[b->other(i)]);
+  if (!arom_dbl) {
+    if (dbl_partners.size() == 2) return "C6";
+    bool all_aliph = true;
+    for (const Atom* x : singles)
+      if (x->aromatic) all_aliph = false;
+    if (all_aliph) return "C6";
+    return "C26";
+  }
+  return "C26";
+}
+
+inline const char* type_nitrogen(const Mol& mol, const Atom& a, int i) {
+  std::vector<const Bond*> bonds = bonds_of(mol, i);
+  std::vector<const Atom*> nbrs;
+  for (int j : mol.neighbors(i)) nbrs.push_back(&mol.atoms[j]);
+  int h = a.n_h;
+  if (a.aromatic)
+    return a.charge > 0 ? "N12" : (a.charge == 0 ? "N11" : "N14");
+  if (a.charge < 0) return "N14";
+  if (a.charge > 0) {
+    for (const Bond* b : bonds) {
+      const Atom& o = mol.atoms[b->other(i)];
+      if ((b->order2 == 4 || b->order2 == 6) && o.symbol == "N" &&
+          o.charge < 0)
+        return "N14";
+    }
+    return h >= 1 ? "N10" : "N13";
+  }
+  bool has_double = false, has_trip = false;
+  for (const Bond* b : bonds) {
+    if (b->order2 == 4) has_double = true;
+    if (b->order2 == 6) has_trip = true;
+  }
+  if (has_trip) return "N9";
+  if (has_double) return h >= 1 ? "N5" : "N6";
+  bool arom_nb = false;
+  for (const Atom* x : nbrs)
+    if (x->aromatic) arom_nb = true;
+  if (h >= 2) return arom_nb ? "N3" : "N1";
+  if (h == 1) return arom_nb ? "N4" : "N2";
+  if (!nbrs.empty()) return arom_nb ? "N8" : "N7";
+  return "NS";
+}
+
+inline const char* type_oxygen(const Mol& mol, const Atom& a, int i) {
+  std::vector<const Bond*> bonds = bonds_of(mol, i);
+  std::vector<const Atom*> nbrs;
+  for (int j : mol.neighbors(i)) nbrs.push_back(&mol.atoms[j]);
+  if (a.aromatic) return "O1";
+  if (a.n_h >= 1) return "O2";
+  if (a.charge < 0) {
+    for (const Atom* x : nbrs)
+      if (x->symbol == "N") return "O5";
+    for (const Atom* x : nbrs)
+      if (x->symbol == "S") return "O6";
+    for (size_t k = 0; k < nbrs.size(); k++) {
+      const Atom* x = nbrs[k];
+      if (x->symbol == "C") {
+        int xi = mol.neighbors(i)[k];
+        for (const Bond* b : bonds_of(mol, xi))
+          if (b->order2 == 4 && mol.atoms[b->other(xi)].symbol == "O")
+            return "O12";
+      }
+    }
+    return "O7";
+  }
+  const Atom* c = nullptr;
+  int ci = -1;
+  for (const Bond* b : bonds)
+    if (b->order2 == 4 && !c) { ci = b->other(i); c = &mol.atoms[ci]; }
+  if (c) {
+    if (c->symbol == "N" || c->symbol == "O") return "O5";
+    if (c->symbol == "S") return "O6";
+    if (c->symbol == "C") {
+      if (c->aromatic) return "O8";
+      std::vector<const Atom*> others;
+      for (int j : mol.neighbors(ci))
+        if (j != i) others.push_back(&mol.atoms[j]);
+      int n_alc = 0, n_arc = 0, n_aromc = 0;
+      for (const Atom* x : others) {
+        if (!x->aromatic && x->symbol == "C") n_alc++;
+        if (x->aromatic) {
+          n_arc++;
+          if (x->symbol == "C") n_aromc++;
+        }
+      }
+      int n_anyc = n_alc + n_aromc;
+      if (c->n_h > 0 || others.empty()) return n_arc ? "O10" : "O9";
+      for (const Bond* b : bonds_of(mol, ci))
+        if (b->order2 == 4 && b->other(ci) != i) return "O9";
+      bool all_aliph = true;
+      for (const Atom* x : others)
+        if (x->aromatic) all_aliph = false;
+      if (n_alc >= 1 && all_aliph) return "O9";
+      if (n_anyc >= 1) return "O10";
+      return "O11";
+    }
+    return "OS";
+  }
+  if (!nbrs.empty()) {
+    bool any_arom = false;
+    for (const Atom* x : nbrs)
+      if (x->aromatic) any_arom = true;
+    if (!any_arom && nbrs.size() >= 2) return "O3";
+    if (any_arom) return "O4";
+  }
+  return "OS";
+}
+
+inline const char* crippen_atom_type(const Mol& mol, const Atom& a, int i) {
+  const std::string& sym = a.symbol;
+  if (sym == "C") return type_carbon(mol, a, i);
+  if (sym == "N") return type_nitrogen(mol, a, i);
+  if (sym == "O") return type_oxygen(mol, a, i);
+  if (sym == "S") {
+    if (a.aromatic) return "S3";
+    bool s2 = a.charge != 0;
+    if (!s2)
+      for (const Bond* b : bonds_of(mol, i)) {
+        const std::string& o = mol.atoms[b->other(i)].symbol;
+        if (b->order2 == 4 &&
+            (o == "N" || o == "O" || o == "P" || o == "S"))
+          s2 = true;
+      }
+    return s2 ? "S2" : "S1";
+  }
+  if (sym == "P") return "P";
+  if (sym == "F" || sym == "Cl" || sym == "Br" || sym == "I")
+    return a.charge == 0 ? sym.c_str() : "Hal";
+  if (me1_elem(sym)) return "Me1";
+  return "Me2";
+}
+
+inline const char* crippen_h_type(const Mol& mol, const Atom& a, int i) {
+  const std::string& sym = a.symbol;
+  if (sym == "C") return "H1";
+  if (sym == "N") return "H3";
+  if (sym == "O") {
+    std::vector<int> nj = mol.neighbors(i);
+    for (int j : nj)
+      if (mol.atoms[j].symbol == "N") return "H3";
+    for (int j : nj) {
+      const Atom& x = mol.atoms[j];
+      if (x.symbol == "C" && !x.aromatic) {
+        for (const Bond* b : bonds_of(mol, j)) {
+          const std::string& o = mol.atoms[b->other(j)].symbol;
+          if (b->order2 == 4 && !b->aromatic &&
+              (o == "C" || o == "N" || o == "O" || o == "S"))
+            return "H4";
+        }
+      }
+    }
+    for (int j : nj) {
+      const std::string& o = mol.atoms[j].symbol;
+      if (o == "O" || o == "S") return "H4";
+    }
+    if (!nj.empty()) return "H2";
+    return "HS";
+  }
+  return "H2";
+}
+
+inline double logp(const Mol& mol) {
+  double total = 0.0;
+  for (int i = 0; i < mol.num_atoms(); i++) {
+    const Atom& a = mol.atoms[i];
+    // F/Cl/Br/I type names equal the symbol: crippen_atom_type may
+    // return sym.c_str(), valid for the lifetime of this call
+    total += crippen_value(crippen_atom_type(mol, a, i));
+    if (a.n_h)
+      total += a.n_h * crippen_value(crippen_h_type(mol, a, i));
+  }
+  return total;
+}
+
+// --- QED (Bickerton 2012) ----------------------------------------------
+inline int qed_hba(const Mol& mol) {
+  int cnt = 0;
+  for (int i = 0; i < mol.num_atoms(); i++) {
+    const Atom& a = mol.atoms[i];
+    std::vector<const Bond*> bonds = bonds_of(mol, i);
+    if (a.symbol == "O") {
+      if (a.aromatic) {
+        if (a.n_h == 0) cnt++;
+      } else if (a.charge == 0) {
+        cnt++;
+      } else if (a.charge < 0 && mol.adj[i].size() <= 1) {
+        cnt++;
+      }
+    } else if (a.symbol == "S" && !a.aromatic) {
+      bool all_single = true, any_ge2 = false;
+      for (const Bond* b : bonds) {
+        if (b->order2 != 2) all_single = false;
+        if (b->order2 >= 4) any_ge2 = true;
+      }
+      if (a.n_h == 0 && a.charge == 0 && all_single &&
+          bonds.size() <= 2 && !any_ge2 && bonds.size() == 2)
+        cnt++;
+      if (a.n_h == 0 && a.charge == 0 && bonds.size() == 1 &&
+          bonds[0]->order2 == 4)
+        cnt++;
+      if (a.charge < 0 && bonds.size() <= 1) cnt++;
+    } else if (a.symbol == "N") {
+      if (a.aromatic) {
+        if (a.n_h == 0 && mol.adj[i].size() == 2) cnt++;
+      } else if (a.charge == 0) {
+        bool any_triple = false, all_single = true;
+        for (const Bond* b : bonds) {
+          if (b->order2 == 6) any_triple = true;
+          if (b->order2 != 2) all_single = false;
+        }
+        if (any_triple)
+          cnt++;
+        else if (all_single && (int)bonds.size() + a.n_h == 3 &&
+                 !is_amide_n(mol, i))
+          cnt++;
+      }
+    }
+  }
+  return cnt;
+}
+
+inline int n_alerts(const Mol& mol) {
+  int cnt = 0;
+  bool azo = false, nitro = false, aldehyde = false, thiol = false,
+       peroxide = false, disulfide = false, alkyne = false,
+       hydrazine = false, alkyl_halide = false;
+  for (int i = 0; i < mol.num_atoms(); i++) {
+    const Atom& a = mol.atoms[i];
+    std::vector<const Bond*> bonds = bonds_of(mol, i);
+    if (a.symbol == "N" && !a.aromatic) {
+      for (const Bond* b : bonds) {
+        const Atom& o = mol.atoms[b->other(i)];
+        if (b->order2 == 4 && o.symbol == "N" && !o.aromatic) azo = true;
+      }
+    }
+    if (a.symbol == "N" && a.charge == 1) {
+      for (const Bond* b : bonds)
+        if (b->order2 == 4 && mol.atoms[b->other(i)].symbol == "O")
+          nitro = true;
+    }
+    if (a.symbol == "C" && !a.aromatic && a.n_h >= 1) {
+      for (const Bond* b : bonds)
+        if (b->order2 == 4 && mol.atoms[b->other(i)].symbol == "O")
+          aldehyde = true;
+    }
+    if (a.symbol == "S" && a.n_h > 0) thiol = true;
+    if (a.symbol == "C" && !a.aromatic) {
+      bool all_single = true, any_hal = false;
+      for (const Bond* b : bonds) {
+        if (b->order2 != 2) all_single = false;
+        const std::string& o = mol.atoms[b->other(i)].symbol;
+        if (o == "Cl" || o == "Br" || o == "I") any_hal = true;
+      }
+      if (all_single && any_hal) alkyl_halide = true;
+    }
+  }
+  for (const Bond& b : mol.bonds) {
+    const Atom& x = mol.atoms[b.a1];
+    const Atom& y = mol.atoms[b.a2];
+    if (b.order2 == 2 && !b.aromatic) {
+      if (x.symbol == "O" && y.symbol == "O") peroxide = true;
+      if (x.symbol == "S" && y.symbol == "S") disulfide = true;
+      if (x.symbol == "N" && y.symbol == "N" && !x.aromatic &&
+          !y.aromatic)
+        hydrazine = true;
+    }
+    if (b.order2 == 6 && x.symbol == "C" && y.symbol == "C")
+      alkyne = true;
+  }
+  cnt = (int)azo + nitro + aldehyde + thiol + peroxide + disulfide +
+        alkyne + hydrazine + alkyl_halide;
+  return cnt;
+}
+
+struct AdsParams { double a, b, c, d, e, f, dmax; };
+inline double ads(double x, const AdsParams& p) {
+  return (p.a + (p.b / (1 + std::exp(-(x - p.c + p.d / 2) / p.e)) *
+                 (1 - 1 / (1 + std::exp(-(x - p.c - p.d / 2) / p.f))))) /
+         p.dmax;
+}
+
+inline double qed(const Mol& mol) {
+  static const AdsParams P_MW{2.817065973, 392.5754953, 290.7489764,
+                              2.419764353, 49.22325677, 65.37051707,
+                              104.9805561};
+  static const AdsParams P_ALOGP{3.172690585, 137.8624751, 2.534937431,
+                                 4.581497897, 0.822739154, 0.576295591,
+                                 131.3186604};
+  static const AdsParams P_HBA{2.948620388, 160.4605972, 3.615294657,
+                               4.435986202, 0.290141953, 1.300669958,
+                               148.7763046};
+  static const AdsParams P_HBD{1.618662227, 1010.051101, 0.985094388,
+                               0.000000001, 0.713820843, 0.920922555,
+                               258.1632616};
+  static const AdsParams P_PSA{1.876861559, 125.2232657, 62.90773554,
+                               87.83366614, 12.01999824, 28.51324732,
+                               104.5686167};
+  static const AdsParams P_ROTB{0.010000000, 272.4121427, 2.558379970,
+                                1.565547684, 1.271567166, 2.758063707,
+                                105.4420403};
+  static const AdsParams P_AROM{3.217788970, 957.7374108, 2.274627939,
+                                0.000000001, 1.317690384, 0.375760881,
+                                312.3372610};
+  static const AdsParams P_ALERTS{0.010000000, 1199.094025, -0.09002883,
+                                  0.000000001, 0.185904477, 0.875193782,
+                                  417.7253140};
+  const double vals[8] = {
+      mw(mol),           logp(mol),         (double)qed_hba(mol),
+      (double)hbd(mol),  tpsa(mol),         (double)rbn(mol),
+      (double)arrn(mol), (double)n_alerts(mol)};
+  const AdsParams* ps[8] = {&P_MW,  &P_ALOGP, &P_HBA,  &P_HBD,
+                            &P_PSA, &P_ROTB,  &P_AROM, &P_ALERTS};
+  const double w[8] = {0.66, 0.46, 0.05, 0.61, 0.06, 0.65, 0.48, 0.95};
+  double s = 0.0, wsum = 0.0;
+  for (int k = 0; k < 8; k++) {
+    double d = std::max(1e-9, ads(vals[k], *ps[k]));
+    s += w[k] * std::log(d);
+    wsum += w[k];
+  }
+  return std::exp(s / wsum);
+}
+
+}  // namespace desc
+
 extern "C" {
 
 // returns: length written (>=0), -1 invalid, -2 fall back to Python
@@ -1615,6 +2281,46 @@ void gct_chem_murcko_batch(const char** in, int n, char* out_flat,
   for (int i = 0; i < n; i++)
     status[i] = gct_chem_murcko(in[i], out_flat + (size_t)i * slot_cap,
                                 slot_cap);
+}
+
+
+// Batch molecular properties. prop_codes: 0=logP 1=tPSA 2=QED 3=MW
+// 4=HBD 5=RBN 6=ARRN 7=AIRN 8=HAC 9=QED_HBA 10=ALERTS.
+// out is n x n_props row-major; status[i]: 1 ok, 0 invalid,
+// -2 fall back to Python (molecule too large for the native path).
+void gct_chem_props_batch(const char** in, int n, const int32_t* prop_codes,
+                          int n_props, double* out, int8_t* status) {
+  for (int i = 0; i < n; i++) {
+    double* row = out + (size_t)i * n_props;
+    try {
+      Mol mol = parse_smiles(in[i] ? in[i] : "");
+      if ((int)mol.bonds.size() > 256 || mol.num_atoms() > 512) {
+        status[i] = -2;
+        continue;
+      }
+      sanitize(mol);
+      compute_rings(mol);
+      for (int k = 0; k < n_props; k++) {
+        switch (prop_codes[k]) {
+          case 0: row[k] = desc::logp(mol); break;
+          case 1: row[k] = desc::tpsa(mol); break;
+          case 2: row[k] = desc::qed(mol); break;
+          case 3: row[k] = desc::mw(mol); break;
+          case 4: row[k] = (double)desc::hbd(mol); break;
+          case 5: row[k] = (double)desc::rbn(mol); break;
+          case 6: row[k] = (double)desc::arrn(mol); break;
+          case 7: row[k] = (double)desc::airn(mol); break;
+          case 8: row[k] = (double)mol.num_atoms(); break;
+          case 9: row[k] = (double)desc::qed_hba(mol); break;
+          case 10: row[k] = (double)desc::n_alerts(mol); break;
+          default: row[k] = 0.0; break;
+        }
+      }
+      status[i] = 1;
+    } catch (...) {
+      status[i] = 0;
+    }
+  }
 }
 
 }  // extern "C"

@@ -12,7 +12,6 @@ import os
 import numpy as np
 import pandas as pd
 
-from gctplus_tpu.chem.mapper import pmap
 from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
 from gctplus_tpu.eval.metrics import (
     canonicalize_all,
@@ -84,12 +83,9 @@ def p_sampling(args, train=None, train_props=None, log=None) -> pd.DataFrame:
                             / max(1, len(uniq)))
 
         # property errors over valid molecules (aligned with valid_smis)
-        from functools import partial
+        from gctplus_tpu.chem.descriptors import props_rows
 
-        from gctplus_tpu.chem.descriptors import props_row
-
-        vals = pmap(partial(props_row, props=props), valid_smis,
-                    args.n_jobs)
+        vals = props_rows(valid_smis, props, args.n_jobs)
         keep = [(s, v) for s, v in zip(valid_smis, vals) if v is not None]
         if keep:
             kept_smis = [s for s, _ in keep]

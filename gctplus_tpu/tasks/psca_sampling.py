@@ -13,7 +13,6 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 
-from gctplus_tpu.chem.mapper import pmap
 from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
 from gctplus_tpu.eval.metrics import (
     canonicalize_all,
@@ -86,12 +85,9 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
             # molgpt validity: valid AND scaffold-sim >= 0.8
             row["valid_molgpt"] = row["valid"] * sm["sim80"]
 
-            from functools import partial
+            from gctplus_tpu.chem.descriptors import props_rows
 
-            from gctplus_tpu.chem.descriptors import props_row
-
-            vals = pmap(partial(props_row, props=props), valid_smis,
-                        args.n_jobs)
+            vals = props_rows(valid_smis, props, args.n_jobs)
             keep = [(s, sc, v) for s, sc, v in
                     zip(valid_smis, scas, vals) if v is not None]
             if keep:

@@ -14,7 +14,6 @@ import numpy as np
 import pandas as pd
 
 from gctplus_tpu.chem.descriptors import PROPERTY_FN
-from gctplus_tpu.chem.mapper import pmap
 from gctplus_tpu.chem.sanitize import mol_from_smiles
 from gctplus_tpu.eval.metrics import get_all_metrics
 from gctplus_tpu.tasks.common import build_sampler
@@ -25,11 +24,9 @@ DESCRIPTORS = ["logP", "tPSA", "QED", "MW", "SAS", "NP", "HAC", "HBA",
 
 
 def _compute_props(smiles, props, n_jobs):
-    from functools import partial
+    from gctplus_tpu.chem.descriptors import props_rows
 
-    from gctplus_tpu.chem.descriptors import props_row
-
-    vals = pmap(partial(props_row, props=props), smiles, n_jobs)
+    vals = props_rows(smiles, props, n_jobs)
     vals = [v if v is not None else [np.nan] * len(props) for v in vals]
     return pd.DataFrame(vals, columns=props)
 

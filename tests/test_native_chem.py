@@ -140,3 +140,61 @@ def test_canonical_smiles_uses_native_and_agrees():
                                             canonical_smiles_python)
     for s in ("c1ccccc1CCN", "C1=CC=CC=C1O", "CC(=O)Oc1ccccc1C(=O)O"):
         assert canonical_smiles(s) == canonical_smiles_python(s)
+
+
+def test_native_props_batch_exact_vs_python_oracle():
+    """gct_chem_props_batch is a full C++ port of the descriptor math
+    (logP Wildman-Crippen typing, Ertl tPSA, Bickerton QED incl.
+    component counts) — exact float equality vs the Python module on
+    the stress cases plus a generated drug-like sample."""
+    import numpy as np
+
+    from gctplus_tpu.chem.descriptors import props_row
+    from gctplus_tpu.native import NATIVE_PROP_CODES, native_props_batch
+
+    props = ["logP", "tPSA", "QED", "MW", "HBD", "RBN", "ARRN", "AIRN",
+             "HAC"]
+    assert all(p in NATIVE_PROP_CODES for p in props)
+    smis = [s for s in CASES if isinstance(s, str)]
+    out = native_props_batch(smis, props)
+    assert out is not CHEM_FALLBACK
+    vals, status = out
+    n_checked = 0
+    for i, s in enumerate(smis):
+        py = props_row(s, props)
+        if status[i] == -2:
+            continue
+        assert (py is None) == (status[i] == 0), (s, status[i])
+        if py is None:
+            continue
+        np.testing.assert_allclose(vals[i], np.asarray(py), rtol=0,
+                                   atol=0, err_msg=s)
+        n_checked += 1
+    assert n_checked >= 25
+
+
+def test_native_props_batch_corpus_sample():
+    """Exact equality over a drug-like generated corpus sample (the
+    protocol hot path: logP/tPSA/QED)."""
+    import numpy as np
+
+    from gctplus_tpu.chem.descriptors import props_row, props_rows
+    from gctplus_tpu.data.synthetic import generate_dataset
+    from gctplus_tpu.native import native_props_batch
+
+    smis = generate_dataset(300, seed=11)
+    props = ["logP", "tPSA", "QED"]
+    out = native_props_batch(smis, props)
+    assert out is not CHEM_FALLBACK
+    vals, status = out
+    for i, s in enumerate(smis):
+        if status[i] != 1:
+            continue
+        py = props_row(s, props)
+        assert py is not None, s
+        np.testing.assert_allclose(vals[i], np.asarray(py), rtol=0,
+                                   atol=0, err_msg=s)
+    # the batched public entry matches the per-row worker incl. fallbacks
+    rows = props_rows(smis[:50], props)
+    for s, r in zip(smis[:50], rows):
+        assert r == props_row(s, props)
