@@ -85,8 +85,15 @@ def main():
             "smiles"].dropna().tolist()[:20000]
         a = _args(workdir, "vaetf", epoch, n_pairs=n_pairs,
                   n_interpolations=8, batch_size=1,
+                  # the reference interpolates with GREEDY decode
+                  # (inference.py:37 default, not overridden by the
+                  # mol-interpolation subcommand) — the round-3 run
+                  # used multinomial, which is the root cause of
+                  # smooth_prev 0.322 vs published 0.706 (adjacent-
+                  # alpha molecules decode stochastically)
+                  decode_algo="greedy",
                   save_folder=os.path.join(workdir,
-                                           f"results_interp_{epoch}"))
+                                           f"results_interp_{epoch}g"))
         df = mol_interpolation(a, test)
         print("INTERP_MEAN " + json.dumps({
             "smooth_start": round(float(df["smooth_start"].mean()), 4),
