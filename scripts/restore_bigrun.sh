@@ -8,3 +8,10 @@ cd "$(dirname "$0")/.."
 mkdir -p _work/bigrun
 xz -dc data_artifacts/bigrun_data.tar.xz | tar -C _work/bigrun -xf -
 echo "restored _work/bigrun: $(ls _work/bigrun)"
+# v2 multi-radius SA fragment table (built round 4; preferred by
+# tasks/common.py::load_sa_fragments when present)
+if [ -f data_artifacts/sa_fragments_v2.json.xz ]; then
+  xz -dc data_artifacts/sa_fragments_v2.json.xz \
+    > _work/bigrun/utils/sa_fragments_v2.json
+  echo "restored sa_fragments_v2.json"
+fi
