@@ -152,9 +152,10 @@ def main():
     # iteration uses fresh inputs and is synced by the host copy.
     # eos_id=-9 forces the full 79 steps (a trained model stops early;
     # random weights would too — this reports the worst case).
-    # The decode batch is swept {512, 1024} and the best SMILES/s is
-    # reported (bs=1024 amortizes the per-step XLA glue ~35% better —
-    # scripts/probe_mega_ab.py). The BASELINE stays at the reference's
+    # The decode batch is swept {512, 1024, 2048} and the best
+    # SMILES/s is reported (bs=1024 amortized the per-step XLA glue
+    # ~35% better than 512 — scripts/probe_mega_ab.py; 2048 added in
+    # round 4 to find the knee, VERDICT r3 item 9). The BASELINE stays at the reference's
     # own bs=512 (inference.py:51): its full-decoder re-run cost scales
     # linearly with batch, so its SMILES/s is batch-independent — the
     # sweep advantages only the KV-cached engine, which actually has a
@@ -172,7 +173,7 @@ def main():
 
     n_iter = 4
     ours_by_bs = {}
-    for bs in (512, 1024):
+    for bs in (512, 1024, 2048):
         try:
             run_ours(999, bs)  # compile
         except Exception as e:  # e.g. HBM pressure on a shared chip
