@@ -258,7 +258,10 @@ def main():
 
     tcfg = ModelConfig(src_vocab=40, trg_vocab=44, N=6, d_model=512,
                        d_ff=2048, heads=8, latent_dim=128, dropout=0.1,
-                       nconds=0, dtype=jnp.bfloat16)
+                       nconds=0, dtype=jnp.bfloat16,
+                       # production default since the round-4 A/B
+                       # (234.5 vs 242.7 ms/step; scripts/probe_ffn_ab)
+                       use_fused_ffn=True)
     tmodel = Vaetf(tcfg)
     tparams = init_params(tmodel, tcfg)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(tparams))
