@@ -67,6 +67,71 @@ def novelty(smiles: Sequence[str], train_set: Sequence[str],
     return sum(c not in train for c in canon) / len(canon)
 
 
+def analyze_all(smiles: Sequence[str], props=None, n_jobs: int = 1,
+                morgan_bits: int = 0):
+    """One-parse batch analysis for the protocol hot loops: canonical
+    SMILES, Murcko scaffold, optional Morgan fingerprints and
+    properties, each computed from a SINGLE native parse+sanitize per
+    molecule (gct_chem_analyze_batch; the split pipeline re-parsed
+    each molecule 3-4x). Returns a dict:
+
+      canonical: List[Optional[str]]   (None = invalid)
+      murcko:    List[Optional[str]]   ('' = acyclic valid molecule)
+      morgan:    Optional[np.ndarray [n, morgan_bits] uint8]
+      props:     Optional[List[Optional[list]]]  (per-row like props_row)
+
+    Exact-equality fallback to the individual Python paths per row
+    (oversized molecules) or wholesale (kernel unavailable) — asserted
+    in tests/test_native_chem.py."""
+    from gctplus_tpu.chem.descriptors import props_row
+    from gctplus_tpu.chem.scaffold import murcko_scaffold
+    from gctplus_tpu.native import CHEM_FALLBACK, native_analyze_batch
+
+    smiles = list(smiles)
+    n = len(smiles)
+    out = native_analyze_batch(
+        smiles, want_canonical=True, want_murcko=True,
+        morgan_bits=morgan_bits, props=list(props) if props else None)
+    if out is CHEM_FALLBACK:
+        canon = canonicalize_all(smiles, n_jobs)
+        res = {"canonical": canon,
+               "murcko": [murcko_scaffold(s) if c else None
+                          for s, c in zip(smiles, canon)]}
+        if morgan_bits:
+            fps = np.zeros((n, morgan_bits), np.uint8)
+            for i, (s, c) in enumerate(zip(smiles, canon)):
+                if c is None:
+                    continue
+                f = smiles_to_morgan(s, n_bits=morgan_bits)
+                if f is not None:
+                    fps[i] = f
+            res["morgan"] = fps
+        if props:
+            res["props"] = [props_row(s, props) if c else None
+                            for s, c in zip(smiles, canon)]
+        return res
+    res = {"canonical": out["canonical"], "murcko": out["murcko"]}
+    if morgan_bits:
+        res["morgan"] = out["morgan"]
+    if props:
+        res["props"] = [out["props"][i].tolist() if st == 1 else None
+                        for i, st in enumerate(out["status"])]
+    # per-row fallback for oversized molecules (status -2)
+    for i, st in enumerate(out["status"]):
+        if st != -2:
+            continue
+        c = canonical_smiles(smiles[i])
+        res["canonical"][i] = c
+        res["murcko"][i] = murcko_scaffold(smiles[i]) if c else None
+        if morgan_bits and c is not None:
+            f = smiles_to_morgan(smiles[i], n_bits=morgan_bits)
+            if f is not None:
+                res["morgan"][i] = f
+        if props:
+            res["props"][i] = props_row(smiles[i], props) if c else None
+    return res
+
+
 def _fps(smiles: Sequence[str], n_jobs: int = 1) -> np.ndarray:
     fps = pmap(smiles_to_morgan, smiles, n_jobs)
     fps = [f for f in fps if f is not None]
@@ -76,9 +141,11 @@ def _fps(smiles: Sequence[str], n_jobs: int = 1) -> np.ndarray:
 
 
 def internal_diversity(smiles: Sequence[str], n_jobs: int = 1, p: int = 1,
-                       block: int = 4096) -> float:
+                       block: int = 4096,
+                       fps: Optional[np.ndarray] = None) -> float:
     """IntDiv_p = 1 - mean(T^p) over all pairs incl. self (moses)."""
-    fps = _fps(smiles, n_jobs)
+    if fps is None:
+        fps = _fps(smiles, n_jobs)
     n = len(fps)
     if n == 0:
         return 0.0
@@ -150,7 +217,8 @@ def frag_similarity(gen: Sequence[str], ref: Sequence[str],
 def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
                      n_jobs: int = 1, canonical: bool = False,
                      n_total: Optional[int] = None,
-                     return_details: bool = False):
+                     return_details: bool = False,
+                     scas: Optional[Sequence[Optional[str]]] = None):
     """Reference sca aggregation (Inference/sca_sampling.py:196-234):
 
     - SSF / sim80 / avg_scaffold_sim over VALID molecules; rows whose
@@ -181,7 +249,11 @@ def scaffold_metrics(gen: Sequence[str], target_scaffold: str,
     t_sca = murcko_scaffold(target_scaffold)
     t_fp = path_fingerprint_from_smiles(t_sca) if t_sca else None
 
-    scas = pmap(murcko_scaffold, valid, n_jobs)
+    if scas is None:
+        scas = pmap(murcko_scaffold, valid, n_jobs)
+    else:
+        scas = list(scas)
+        assert len(scas) == len(valid)
     fp_cache: Dict[str, Optional[np.ndarray]] = {}
 
     def sim_of(s: Optional[str]) -> Optional[float]:

@@ -121,6 +121,14 @@ def _load_chem() -> Optional[ctypes.CDLL]:
         lib.gct_chem_parse.restype = ctypes.c_int
         lib.gct_chem_parse.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.gct_chem_analyze_batch.restype = None
+        lib.gct_chem_analyze_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int8)]
         lib.gct_chem_props_batch.restype = None
         lib.gct_chem_props_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -221,6 +229,67 @@ def native_props_batch(smiles: Sequence[str], props: Sequence[str]):
         len(props), vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return vals, status
+
+
+def native_analyze_batch(smiles: Sequence[str],
+                         want_canonical: bool = True,
+                         want_murcko: bool = True,
+                         morgan_bits: int = 0, morgan_radius: int = 2,
+                         props: Optional[Sequence[str]] = None,
+                         slot_cap: int = 1024):
+    """One-parse batch analysis (gct_chem_analyze_batch): canonical
+    SMILES + Murcko scaffold + Morgan bits + properties from a single
+    parse+sanitize per molecule. Returns a dict with keys among
+    {"canonical", "murcko", "morgan", "props"} plus "status" (int8:
+    1 ok, 0 invalid, -2 fall back per row), or CHEM_FALLBACK when the
+    kernel / a requested property is unavailable."""
+    lib = _load_chem()
+    if lib is None:
+        return CHEM_FALLBACK
+    codes = None
+    if props:
+        try:
+            codes = np.asarray([NATIVE_PROP_CODES[p] for p in props],
+                               np.int32)
+        except KeyError:
+            return CHEM_FALLBACK
+    n = len(smiles)
+    arr = (ctypes.c_char_p * n)(*[s.encode() for s in smiles])
+    canon_buf = ctypes.create_string_buffer(n * slot_cap)         if want_canonical else None
+    mur_buf = ctypes.create_string_buffer(n * slot_cap)         if want_murcko else None
+    mg = (np.zeros((n, morgan_bits), np.uint8) if morgan_bits else None)
+    pv = (np.zeros((n, len(props)), np.float64) if codes is not None
+          else None)
+    status = np.zeros(n, np.int8)
+    lib.gct_chem_analyze_batch(
+        arr, n,
+        canon_buf, slot_cap if want_canonical else 0,
+        mur_buf, slot_cap if want_murcko else 0,
+        (mg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+         if mg is not None else None),
+        morgan_bits, morgan_radius,
+        (codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+         if codes is not None else None),
+        0 if codes is None else len(props),
+        (pv.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+         if pv is not None else None),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    out = {"status": status}
+    if want_canonical:
+        out["canonical"] = [
+            ctypes.string_at(ctypes.addressof(canon_buf)
+                             + i * slot_cap).decode()
+            if status[i] == 1 else None for i in range(n)]
+    if want_murcko:
+        out["murcko"] = [
+            ctypes.string_at(ctypes.addressof(mur_buf)
+                             + i * slot_cap).decode()
+            if status[i] == 1 else None for i in range(n)]
+    if mg is not None:
+        out["morgan"] = mg
+    if pv is not None:
+        out["props"] = pv
+    return out
 
 
 _CHIRAL = {0: None, 1: "@", 2: "@@"}

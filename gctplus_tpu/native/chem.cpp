@@ -2323,4 +2323,80 @@ void gct_chem_props_batch(const char** in, int n, const int32_t* prop_codes,
   }
 }
 
+
+// One-parse batch analysis (round 4): canonical SMILES, Murcko
+// scaffold, Morgan bits, and properties from a SINGLE parse+sanitize
+// per input — the eval pipeline previously re-parsed each molecule
+// 3-4x across gct_chem_{canonical,murcko,morgan,props}_batch. Any
+// output group is skipped when its pointer is NULL. Per-row status:
+// 1 ok, 0 invalid, -2 fall back to Python (size limits). Flat string
+// buffers hold n slots of *_cap bytes each.
+void gct_chem_analyze_batch(const char** in, int n,
+                            char* canon_flat, int canon_cap,
+                            char* murcko_flat, int murcko_cap,
+                            uint8_t* morgan_flat, int morgan_nbits,
+                            int morgan_radius,
+                            const int32_t* prop_codes, int n_props,
+                            double* props, int8_t* status) {
+  for (int i = 0; i < n; i++) {
+    try {
+      Mol mol = parse_smiles(in[i] ? in[i] : "");
+      if ((int)mol.bonds.size() > 256 || mol.num_atoms() > 512) {
+        status[i] = -2;
+        continue;
+      }
+      sanitize(mol);
+      if (canon_flat) {
+        std::string c = write_smiles_canonical(mol);
+        if ((int)c.size() + 1 > canon_cap) { status[i] = -2; continue; }
+        std::memcpy(canon_flat + (size_t)i * canon_cap, c.c_str(),
+                    c.size() + 1);
+      }
+      if (murcko_flat) {
+        char* slot = murcko_flat + (size_t)i * murcko_cap;
+        std::set<int> keep;
+        if (!prune_to_scaffold(mol, keep)) {
+          if (murcko_cap < 1) { status[i] = -2; continue; }
+          slot[0] = '\0';
+        } else {
+          Mol sub = subgraph(mol, keep);
+          std::string raw = write_smiles_canonical(sub);
+          Mol re = parse_smiles(raw);
+          if ((int)re.bonds.size() > 256) { status[i] = -2; continue; }
+          sanitize(re);
+          std::string m = write_smiles_canonical(re);
+          if ((int)m.size() + 1 > murcko_cap) { status[i] = -2; continue; }
+          std::memcpy(slot, m.c_str(), m.size() + 1);
+        }
+      }
+      if (morgan_flat)
+        morgan_bits(mol, morgan_flat + (size_t)i * morgan_nbits,
+                    morgan_nbits, morgan_radius);
+      if (props) {
+        compute_rings(mol);
+        double* row = props + (size_t)i * n_props;
+        for (int k = 0; k < n_props; k++) {
+          switch (prop_codes[k]) {
+            case 0: row[k] = desc::logp(mol); break;
+            case 1: row[k] = desc::tpsa(mol); break;
+            case 2: row[k] = desc::qed(mol); break;
+            case 3: row[k] = desc::mw(mol); break;
+            case 4: row[k] = (double)desc::hbd(mol); break;
+            case 5: row[k] = (double)desc::rbn(mol); break;
+            case 6: row[k] = (double)desc::arrn(mol); break;
+            case 7: row[k] = (double)desc::airn(mol); break;
+            case 8: row[k] = (double)mol.num_atoms(); break;
+            case 9: row[k] = (double)desc::qed_hba(mol); break;
+            case 10: row[k] = (double)desc::n_alerts(mol); break;
+            default: row[k] = 0.0; break;
+          }
+        }
+      }
+      status[i] = 1;
+    } catch (...) {
+      status[i] = 0;
+    }
+  }
+}
+
 }  // extern "C"

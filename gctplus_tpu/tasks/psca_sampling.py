@@ -15,7 +15,7 @@ import pandas as pd
 
 from gctplus_tpu.config import PROP_TOLERANCES, target_prop_combinations
 from gctplus_tpu.eval.metrics import (
-    canonicalize_all,
+    analyze_all,
     internal_diversity,
     property_error_stats,
     scaffold_metrics,
@@ -59,23 +59,31 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
             # reference aggregation (psca_sampling.py:200-276):
             # canonicalize once; unique over valid, novelty over the
             # unique set, intDiv over VALID (the reference's psca
-            # choice — p_sampling uses unique)
-            canon = canonicalize_all(smiles, args.n_jobs)
-            valid_smis = [c for c in canon if c is not None]
+            # choice — p_sampling uses unique). One-parse native
+            # analysis: canonical + murcko + morgan + props together
+            # (eval/metrics.py::analyze_all).
+            ana = analyze_all(smiles, props=props, n_jobs=args.n_jobs,
+                              morgan_bits=1024)
+            canon = ana["canonical"]
+            valid_idx = [i for i, c in enumerate(canon) if c is not None]
+            valid_smis = [canon[i] for i in valid_idx]
             uniq = list(dict.fromkeys(valid_smis))
             n_valid = len(valid_smis)
             row = {"scaffold": sca, "logP": combo[0], "tPSA": combo[1],
                    "QED": combo[2],
                    "valid": n_valid / max(1, len(smiles)),
                    "unique": len(uniq) / max(1, n_valid),
-                   "intDiv": internal_diversity(valid_smis, args.n_jobs)}
+                   "intDiv": internal_diversity(
+                       valid_smis, args.n_jobs,
+                       fps=ana["morgan"][valid_idx])}
             if train is not None:
                 tset = train if isinstance(train, set) else set(train)
                 row["novel"] = (sum(1 for u in uniq if u not in tset)
                                 / max(1, len(uniq)))
             sm, scas, _sims = scaffold_metrics(
                 valid_smis, sca, args.n_jobs, canonical=True,
-                n_total=len(smiles), return_details=True)
+                n_total=len(smiles), return_details=True,
+                scas=[ana["murcko"][i] for i in valid_idx])
             # psca's own in-tolerance is JOINT (scaffold AND props,
             # psca_sampling.py:267-276) — computed below; drop the
             # scaffold-only variants scaffold_metrics returns
@@ -85,9 +93,7 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
             # molgpt validity: valid AND scaffold-sim >= 0.8
             row["valid_molgpt"] = row["valid"] * sm["sim80"]
 
-            from gctplus_tpu.chem.descriptors import props_rows
-
-            vals = props_rows(valid_smis, props, args.n_jobs)
+            vals = [ana["props"][i] for i in valid_idx]
             keep = [(s, sc, v) for s, sc, v in
                     zip(valid_smis, scas, vals) if v is not None]
             if keep:

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 from gctplus_tpu.eval.metrics import (
-    canonicalize_all,
+    analyze_all,
     internal_diversity,
     scaffold_metrics,
 )
@@ -70,19 +70,29 @@ def sca_sampling(args, scaffold_source: Sequence[str], train=None,
         smiles = gen["smiles"].tolist()
         # reference aggregation (sca_sampling.py:196-234): canonicalize
         # ONCE; unique over valid, novelty/intDiv over the unique set
-        canon = canonicalize_all(smiles, args.n_jobs)
-        valid = [c for c in canon if c is not None]
-        uniq = list(dict.fromkeys(valid))
+        ana = analyze_all(smiles, n_jobs=args.n_jobs, morgan_bits=1024)
+        canon = ana["canonical"]
+        valid_idx = [i for i, c in enumerate(canon) if c is not None]
+        valid = [canon[i] for i in valid_idx]
+        # unique set + the index of each unique string's first
+        # occurrence (for its precomputed fingerprint row)
+        first: dict = {}
+        for i, c in zip(valid_idx, valid):
+            first.setdefault(c, i)
+        uniq = list(first)
         row = {"scaffold": sca,
                "valid": len(valid) / max(1, len(smiles)),
                "unique": len(uniq) / max(1, len(valid)),
-               "intDiv": internal_diversity(uniq, args.n_jobs)}
+               "intDiv": internal_diversity(
+                   uniq, args.n_jobs,
+                   fps=ana["morgan"][list(first.values())])}
         if train is not None:
             tset = train if isinstance(train, set) else set(train)
             row["novel"] = (sum(1 for u in uniq if u not in tset)
                             / max(1, len(uniq)))
-        row.update(scaffold_metrics(valid, sca, args.n_jobs,
-                                    canonical=True, n_total=len(smiles)))
+        row.update(scaffold_metrics(
+            valid, sca, args.n_jobs, canonical=True, n_total=len(smiles),
+            scas=[ana["murcko"][i] for i in valid_idx]))
         with open(row_path + ".tmp", "w") as f:
             json.dump(row, f, default=float)
         os.replace(row_path + ".tmp", row_path)

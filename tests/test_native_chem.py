@@ -198,3 +198,34 @@ def test_native_props_batch_corpus_sample():
     rows = props_rows(smis[:50], props)
     for s, r in zip(smis[:50], rows):
         assert r == props_row(s, props)
+
+
+def test_analyze_all_matches_split_pipeline():
+    """analyze_all (single-parse native batch) must agree exactly with
+    the split pipeline: canonicalize_all + murcko per valid canonical
+    + smiles_to_morgan + props_row — including raw-vs-canonical input
+    invariance of scaffold/fp/props."""
+    import numpy as np
+
+    from gctplus_tpu.chem.descriptors import props_row
+    from gctplus_tpu.chem.fingerprints import smiles_to_morgan
+    from gctplus_tpu.chem.scaffold import murcko_scaffold
+    from gctplus_tpu.data.synthetic import generate_dataset
+    from gctplus_tpu.eval.metrics import analyze_all, canonicalize_all
+
+    smis = generate_dataset(200, seed=23) + ["not_a_smiles", "C1CC"]
+    props = ["logP", "tPSA", "QED"]
+    ana = analyze_all(smis, props=props, morgan_bits=1024)
+    canon = canonicalize_all(smis, 1)
+    assert ana["canonical"] == canon
+    for i, (s, c) in enumerate(zip(smis, canon)):
+        if c is None:
+            assert ana["murcko"][i] is None
+            assert ana["props"][i] is None
+            continue
+        # scaffold/fp/props computed on the RAW string equal the split
+        # pipeline's values on the CANONICAL string (order-invariant)
+        assert ana["murcko"][i] == murcko_scaffold(c), (s, c)
+        np.testing.assert_array_equal(ana["morgan"][i],
+                                      smiles_to_morgan(c), err_msg=s)
+        assert ana["props"][i] == props_row(c, props), (s, c)
