@@ -139,13 +139,20 @@ def _refine_ranks(mol: Mol, ranks: List[int]) -> List[int]:
     return ranks
 
 
-def canonical_ranks_complete(mol: Mol, budget: int = 64) -> List[int]:
+def canonical_ranks_complete(mol: Mol, budget: int = 64,
+                             isomeric: bool = False) -> List[int]:
     """Canonical ranking with exact tie handling: when refinement
     leaves a tied class (WL + distance profiles are not a complete
     graph invariant), branch on every member and keep the ranking that
     writes the lexicographically smallest SMILES. Branch count is
     bounded by `budget` leaf writes (drug-sized molecules rarely need
-    more than a handful)."""
+    more than a handful).
+
+    isomeric=True scores leaves on the ISOMERIC string: skeleton
+    automorphisms that swap constitutionally identical arms of a
+    stereocenter (cis/trans ring isomers) write different stereo
+    markers, so the tie-break must see them to stay input-order
+    independent."""
     n = mol.num_atoms()
     base = _partition_ranks(mol)
     if len(set(base)) == n:
@@ -159,7 +166,7 @@ def canonical_ranks_complete(mol: Mol, budget: int = 64) -> List[int]:
             return
         if len(set(ranks)) == n:
             leaves[0] += 1
-            s = write_smiles(mol, ranks)
+            s = write_smiles(mol, ranks, isomeric=isomeric)
             if best[0] is None or s < best[0][0]:
                 best[0] = (s, ranks)
             return
@@ -200,14 +207,16 @@ def _needs_bracket(a, mol: Mol) -> bool:
     return int(v - bond_sum) != a.n_h
 
 
-def _atom_token(a, mol: Mol) -> str:
+def _atom_token(a, mol: Mol, chiral_tok: Optional[str] = None) -> str:
     sym = a.symbol.lower() if a.aromatic else a.symbol
-    if not _needs_bracket(a, mol):
+    if chiral_tok is None and not _needs_bracket(a, mol):
         return sym
     parts = ["["]
     if a.isotope:
         parts.append(str(a.isotope))
     parts.append(sym)
+    if chiral_tok:
+        parts.append(chiral_tok)
     if a.n_h == 1:
         parts.append("H")
     elif a.n_h > 1:
@@ -224,16 +233,55 @@ def _atom_token(a, mol: Mol) -> str:
     return "".join(parts)
 
 
-def write_smiles(mol: Mol, ranks: Optional[List[int]] = None) -> str:
-    """Graph -> SMILES via canonical DFS."""
+_FLIP_DIR = {"/": "\\", "\\": "/"}
+
+
+def _perm_parity(a: List[int], b: List[int]) -> int:
+    """0 if b is an even permutation of a, 1 if odd."""
+    b = list(b)
+    par = 0
+    for i in range(len(a)):
+        j = b.index(a[i], i)
+        if j != i:
+            b[i], b[j] = b[j], b[i]
+            par ^= 1
+    return par
+
+
+def _chiral_token(a, parent: Optional[int],
+                  out_nbrs: List[int]) -> Optional[str]:
+    """@/@@ under the writer's neighbor order, parity-adjusted from the
+    parse-time order (Atom.chiral_order). None when the marker cannot
+    be interpreted (unsupported class, neighbor mismatch)."""
+    if a.chiral not in ("@", "@@") or not a.chiral_order:
+        return None
+    out = ([parent] if parent is not None else []) + list(out_nbrs)
+    if -1 in a.chiral_order:
+        # implicit bracket H: first neighbor when the atom leads the
+        # string, else immediately after the preceding atom
+        out.insert(1 if parent is not None else 0, -1)
+    if (sorted(out) != sorted(a.chiral_order)
+            or len(set(out)) != len(out) or len(out) not in (3, 4)):
+        return None
+    if _perm_parity(a.chiral_order, out) == 0:
+        return a.chiral
+    return "@@" if a.chiral == "@" else "@"
+
+
+def write_smiles(mol: Mol, ranks: Optional[List[int]] = None,
+                 isomeric: bool = False) -> str:
+    """Graph -> SMILES via canonical DFS.
+
+    isomeric=True re-emits tetrahedral @/@@ (parity-corrected for the
+    canonical neighbor order) and directional /\\ bonds (orientation-
+    corrected, gauge-normalized so the first directional bond of every
+    conjugated stereo cluster is '/'); the default drops them like the
+    reference's MolToSmiles(isomericSmiles=False) dedup call."""
     n = mol.num_atoms()
     if ranks is None:
-        ranks = canonical_ranks_complete(mol)
+        ranks = canonical_ranks_complete(mol, isomeric=isomeric)
 
     visited: Set[int] = set()
-    ring_bonds: Dict[Tuple[int, int], int] = {}
-    ring_counter = [0]
-    open_digits: Dict[int, int] = {}  # digit -> usage marker
 
     # pre-find ring-closure bonds via DFS tree
     tree_edges: Set[Tuple[int, int]] = set()
@@ -256,87 +304,157 @@ def write_smiles(mol: Mol, ranks: Optional[List[int]] = None) -> str:
                 roots.append(i)
                 dfs_tree(i)
 
-        closure_digit: Dict[Tuple[int, int], int] = {}
-        atom_closures: Dict[int, List[Tuple[int, float, bool]]] = {}
-        next_digit = [1]
-        free_digits: List[int] = []
+        # directional bonds that flank a C=C style double bond; others
+        # are geometrically meaningless and dropped from isomeric
+        # output (RDKit does the same)
+        live_dir: Set[int] = set()
+        dir_flip: Dict[int, bool] = {}
+        if isomeric:
+            dbl_ends = set()
+            for b in mol.bonds:
+                if b.order == 2.0 and not b.aromatic:
+                    dbl_ends.add(b.a1)
+                    dbl_ends.add(b.a2)
+            for bi, b in enumerate(mol.bonds):
+                if (b.stereo and b.order == 1.0 and not b.aromatic
+                        and (b.a1 in dbl_ends or b.a2 in dbl_ends)):
+                    live_dir.add(bi)
 
-        # assign digits in output order: second DFS mirrors the writer
-        visited.clear()
-        out_fragments = []
+        def emit(record: Optional[List[Tuple[int, str]]]) -> str:
+            visited.clear()
+            closure_digit: Dict[Tuple[int, int], int] = {}
+            next_digit = [1]
+            free_digits: List[int] = []
+            frags = []
 
-        def bond_symbol(b, parent_aromatic_pair: bool) -> str:
-            if b.aromatic:
-                return ""
-            if b.order == 1.0:
-                # explicit single needed between two aromatic atoms
-                if mol.atoms[b.a1].aromatic and mol.atoms[b.a2].aromatic:
-                    return "-"
-                return ""
-            return _BOND_SYM.get(b.order, "")
+            def bond_symbol(b, from_atom: int) -> str:
+                if b.aromatic:
+                    return ""
+                if b.order == 1.0:
+                    if isomeric and b.stereo is not None:
+                        bi = mol.bond_index(b.a1, b.a2)
+                        if bi in live_dir:
+                            s = (b.stereo if from_atom == b.a1
+                                 else _FLIP_DIR[b.stereo])
+                            if record is not None:
+                                record.append((bi, s))
+                            elif dir_flip.get(bi):
+                                s = _FLIP_DIR[s]
+                            return s
+                    # explicit single needed between two aromatic atoms
+                    if mol.atoms[b.a1].aromatic and mol.atoms[b.a2].aromatic:
+                        return "-"
+                    return ""
+                return _BOND_SYM.get(b.order, "")
 
-        def write(u: int) -> str:
-            visited.add(u)
-            token = [_atom_token(mol.atoms[u], mol)]
-            nbrs = sorted(mol.neighbors(u), key=lambda x: ranks[x])
-            # ring-closure digits: open at first endpoint, close at second
-            for v in nbrs:
-                e = (min(u, v), max(u, v))
-                if e in tree_edges:
-                    continue
-                b = mol.get_bond(u, v)
-                if e not in closure_digit:
-                    d = free_digits.pop(0) if free_digits else next_digit[0]
-                    if d == next_digit[0]:
-                        next_digit[0] += 1
-                    closure_digit[e] = d
-                    token.append(bond_symbol(b, False) + _digit(d))
-                else:
-                    d = closure_digit.pop(e)
-                    free_digits.append(d)
-                    free_digits.sort()
-                    token.append(bond_symbol(b, False) + _digit(d))
-            branches = [v for v in nbrs
-                        if (min(u, v), max(u, v)) in tree_edges and v not in visited]
-            for bi, v in enumerate(branches):
-                b = mol.get_bond(u, v)
-                sub = bond_symbol(b, False) + write(v)
-                if bi < len(branches) - 1:
-                    token.append("(" + sub + ")")
-                else:
-                    token.append(sub)
-            return "".join(token)
+            def write(u: int, parent: Optional[int]) -> str:
+                visited.add(u)
+                nbrs = sorted(mol.neighbors(u), key=lambda x: ranks[x])
+                closures = [v for v in nbrs
+                            if (min(u, v), max(u, v)) not in tree_edges]
+                branches = [v for v in nbrs
+                            if (min(u, v), max(u, v)) in tree_edges
+                            and v not in visited]
+                ctok = (_chiral_token(mol.atoms[u], parent,
+                                      closures + branches)
+                        if isomeric else None)
+                token = [_atom_token(mol.atoms[u], mol, ctok)]
+                # ring-closure digits: open at first endpoint, close at
+                # the second
+                for v in closures:
+                    e = (min(u, v), max(u, v))
+                    b = mol.get_bond(u, v)
+                    if e not in closure_digit:
+                        d = (free_digits.pop(0) if free_digits
+                             else next_digit[0])
+                        if d == next_digit[0]:
+                            next_digit[0] += 1
+                        closure_digit[e] = d
+                    else:
+                        d = closure_digit.pop(e)
+                        free_digits.append(d)
+                        free_digits.sort()
+                    token.append(bond_symbol(b, u) + _digit(d))
+                for k, v in enumerate(branches):
+                    b = mol.get_bond(u, v)
+                    sub = bond_symbol(b, u) + write(v, u)
+                    if k < len(branches) - 1:
+                        token.append("(" + sub + ")")
+                    else:
+                        token.append(sub)
+                return "".join(token)
 
-        for r in roots:
-            if r not in visited:
-                out_fragments.append(write(r))
+            for r in roots:
+                if r not in visited:
+                    frags.append(write(r, None))
+            return ".".join(frags)
+
+        if isomeric and live_dir:
+            # pass 1: record emission order/orientation of directional
+            # bonds, then normalize the gauge — flipping every symbol
+            # in a stereo cluster (directional bonds coupled through
+            # shared double bonds) preserves geometry, so force the
+            # first-emitted symbol of each cluster to '/'
+            events: List[Tuple[int, str]] = []
+            emit(events)
+            parent_uf: Dict[int, int] = {bi: bi for bi in live_dir}
+
+            def find(x):
+                while parent_uf[x] != x:
+                    parent_uf[x] = parent_uf[parent_uf[x]]
+                    x = parent_uf[x]
+                return x
+
+            by_atom: Dict[int, List[int]] = {}
+            for bi in live_dir:
+                b = mol.bonds[bi]
+                by_atom.setdefault(b.a1, []).append(bi)
+                by_atom.setdefault(b.a2, []).append(bi)
+            for b in mol.bonds:
+                if b.order == 2.0 and not b.aromatic:
+                    grp = by_atom.get(b.a1, []) + by_atom.get(b.a2, [])
+                    for x in grp[1:]:
+                        parent_uf[find(grp[0])] = find(x)
+            first_sym: Dict[int, str] = {}
+            for bi, s in events:
+                root = find(bi)
+                if root not in first_sym:
+                    first_sym[root] = s
+            for bi in live_dir:
+                dir_flip[bi] = first_sym.get(find(bi)) == "\\"
+        out = emit(None)
     finally:
         sys.setrecursionlimit(old_limit)
-    return ".".join(out_fragments)
+    return out
 
 
 def _digit(d: int) -> str:
     return str(d) if d < 10 else f"%{d:02d}"
 
 
-def canonical_smiles(smiles: str) -> Optional[str]:
+def canonical_smiles(smiles: str, isomeric: bool = False) -> Optional[str]:
     """Parse+sanitize+canonical-write; None if invalid.
-    (reference get_canonical, Utils/smiles.py:47-65)
+    (reference get_canonical, Utils/smiles.py:47-65; isomeric=True is
+    the MolToSmiles(isomericSmiles=True) analog — a capability the
+    reference's dedup path never exercises, so the default matches its
+    isomericSmiles=False call)
 
     Fast path: the native kernel (native/chem.cpp, ~12x), an
     equivalence-tested port of this module; falls back here for
-    oversized molecules or when no compiler is available."""
-    if isinstance(smiles, str):
+    oversized molecules, isomeric output, or when no compiler is
+    available."""
+    if isinstance(smiles, str) and not isomeric:
         from gctplus_tpu.native import CHEM_FALLBACK, native_canonical
         out = native_canonical(smiles)
         if out is not CHEM_FALLBACK:
             return out
-    return canonical_smiles_python(smiles)
+    return canonical_smiles_python(smiles, isomeric=isomeric)
 
 
-def canonical_smiles_python(smiles: str) -> Optional[str]:
+def canonical_smiles_python(smiles: str,
+                            isomeric: bool = False) -> Optional[str]:
     """The pure-Python path (also the native kernel's oracle)."""
     mol = mol_from_smiles(smiles)
     if mol is None:
         return None
-    return write_smiles(mol)
+    return write_smiles(mol, isomeric=isomeric)

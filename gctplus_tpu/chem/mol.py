@@ -62,6 +62,12 @@ class Atom:
     explicit_h: Optional[int] = None   # from brackets; None = implicit
     isotope: int = 0
     chiral: Optional[str] = None       # "@" or "@@" (kept, not interpreted)
+    # written neighbor order at parse time for chiral atoms (OpenSMILES
+    # §3.9.2 accounting: preceding atom, implicit bracket H as -1, then
+    # ring-closure digits and branch atoms in written order). Consumed
+    # by the isomeric canonical writer to re-derive @/@@ parity under
+    # the canonical output ordering.
+    chiral_order: Optional[List[int]] = None
     in_bracket: bool = False
     idx: int = -1
     # filled by sanitize:
@@ -133,6 +139,12 @@ class Mol:
             if b.other(a1) == a2:
                 return b
         return None
+
+    def bond_index(self, a1: int, a2: int) -> int:
+        for bi in self._adj[a1]:
+            if self.bonds[bi].other(a1) == a2:
+                return bi
+        raise KeyError((a1, a2))
 
     # --- ring perception ------------------------------------------------
     def ring_info(self) -> List[List[int]]:

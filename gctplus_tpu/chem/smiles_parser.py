@@ -34,6 +34,7 @@ _BRACKET_RE = re.compile(
 )
 
 _TWO_CHAR_ORGANIC = {"Cl", "Br"}
+_FLIP_DIR = {"/": "\\", "\\": "/"}
 
 
 def _parse_bracket(body: str) -> Atom:
@@ -76,6 +77,22 @@ def parse_smiles(smiles: str) -> Mol:
     stack: List[Optional[int]] = []
     pending_bond: Optional[str] = None
     ring: Dict[int, Tuple[int, Optional[str]]] = {}
+    # chiral-neighbor accounting (OpenSMILES §3.9.2): for every atom
+    # carrying @/@@, the neighbor list in WRITTEN order — preceding
+    # atom, implicit bracket H (-1), then ring digits / branch atoms
+    # as they appear. Ring digits opened on a chiral atom reserve a
+    # slot (None) that is patched with the partner at closure.
+    chiral_order: Dict[int, List[Optional[int]]] = {}
+    ring_slot: Dict[int, Tuple[int, int]] = {}
+
+    def note_new_atom(atom: Atom, old_prev: Optional[int], idx: int):
+        if old_prev is not None and old_prev in chiral_order:
+            chiral_order[old_prev].append(idx)
+        if atom.chiral:
+            lst: List[Optional[int]] = [] if old_prev is None else [old_prev]
+            if (atom.explicit_h or 0) == 1:
+                lst.append(-1)
+            chiral_order[idx] = lst
 
     i, n = 0, len(smiles)
     while i < n:
@@ -87,7 +104,9 @@ def parse_smiles(smiles: str) -> Mol:
                 raise SmilesError("unclosed bracket")
             atom = _parse_bracket(smiles[i + 1: j])
             i = j + 1
-            prev = _attach(mol, atom, prev, pending_bond)
+            new = _attach(mol, atom, prev, pending_bond)
+            note_new_atom(atom, prev, new)
+            prev = new
             pending_bond = None
             continue
 
@@ -106,7 +125,9 @@ def parse_smiles(smiles: str) -> Mol:
                     raise SmilesError(f"bad aromatic atom {ch}")
                 atom = Atom(symbol=ch.upper(), aromatic=True)
                 i += 1
-            prev = _attach(mol, atom, prev, pending_bond)
+            new = _attach(mol, atom, prev, pending_bond)
+            note_new_atom(atom, prev, new)
+            prev = new
             pending_bond = None
             continue
 
@@ -142,13 +163,32 @@ def parse_smiles(smiles: str) -> Mol:
                 raise SmilesError("ring bond before any atom")
             if num in ring:
                 a_other, sym_other = ring.pop(num)
-                sym = pending_bond or sym_other
-                if (pending_bond and sym_other and pending_bond != sym_other):
+                # Bond.stereo is normalized to the a1->a2 (opener ->
+                # closer) orientation; a directional symbol written at
+                # the CLOSING digit points closer -> opener, so it is
+                # flipped here. Opener '/' + closer '\' describe the
+                # same geometry (consistent); equal symbols conflict.
+                if pending_bond in ("/", "\\"):
+                    if sym_other in ("/", "\\") and sym_other == pending_bond:
+                        raise SmilesError("conflicting ring-bond directions")
+                    sym = _FLIP_DIR[pending_bond]
+                elif (pending_bond and sym_other
+                      and pending_bond != sym_other):
                     raise SmilesError("conflicting ring-bond orders")
+                else:
+                    sym = pending_bond or sym_other
                 _bond(mol, a_other, prev, sym)
+                if prev in chiral_order:
+                    chiral_order[prev].append(a_other)
+                if num in ring_slot:
+                    a, pos = ring_slot.pop(num)
+                    chiral_order[a][pos] = prev
                 pending_bond = None
             else:
                 ring[num] = (prev, pending_bond)
+                if prev in chiral_order:
+                    chiral_order[prev].append(None)
+                    ring_slot[num] = (prev, len(chiral_order[prev]) - 1)
                 pending_bond = None
             continue
 
@@ -169,6 +209,9 @@ def parse_smiles(smiles: str) -> Mol:
         raise SmilesError("dangling bond symbol")
     if mol.num_atoms() == 0:
         raise SmilesError("no atoms")
+    for idx, lst in chiral_order.items():
+        # no None slot can survive: unclosed rings raised above
+        mol.atoms[idx].chiral_order = lst
     return mol
 
 
