@@ -14,7 +14,7 @@ while true; do
     tag=$(basename "$d")
     for sub in "$d"/*; do
       [ -d "$sub" ] || continue
-      dst="evidence/bigrun_r4/partial/${tag}_$(basename "$sub")"
+      dst="evidence/bigrun_r4/partial/$tag/$(basename "$sub")"
       mkdir -p "$dst"
       cp -u "$sub"/row_*.json "$sub"/gen_*.csv "$sub"/metric*.csv \
         "$sub"/record.log "$dst"/ 2>/dev/null

@@ -15,3 +15,18 @@ if [ -f data_artifacts/sa_fragments_v2.json.xz ]; then
     > _work/bigrun/utils/sa_fragments_v2.json
   echo "restored sa_fragments_v2.json"
 fi
+# re-seed cell-resumable protocol runs from committed partial cells
+# (scripts/psca_insurance.sh): the task loops skip any cell whose
+# row_*.json / gen_*.csv is already present, so a cut run resumes
+# where it stopped instead of re-decoding
+if [ -d evidence/bigrun_r4/partial ]; then
+  for tagdir in evidence/bigrun_r4/partial/*/; do
+    tag=$(basename "$tagdir")
+    for subdir in "$tagdir"*/; do
+      sub=$(basename "$subdir")
+      mkdir -p "_work/bigrun/$tag/$sub"
+      cp -un "$subdir"* "_work/bigrun/$tag/$sub/" 2>/dev/null
+    done
+  done
+  echo "re-seeded protocol cells from evidence/bigrun_r4/partial"
+fi
