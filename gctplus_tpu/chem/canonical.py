@@ -139,20 +139,26 @@ def _refine_ranks(mol: Mol, ranks: List[int]) -> List[int]:
     return ranks
 
 
-def canonical_ranks_complete(mol: Mol, budget: int = 64,
+def canonical_ranks_complete(mol: Mol, budget: Optional[int] = None,
                              isomeric: bool = False) -> List[int]:
     """Canonical ranking with exact tie handling: when refinement
     leaves a tied class (WL + distance profiles are not a complete
     graph invariant), branch on every member and keep the ranking that
     writes the lexicographically smallest SMILES. Branch count is
     bounded by `budget` leaf writes (drug-sized molecules rarely need
-    more than a handful).
+    more than a handful); default 64, raised to 256 for isomeric
+    output where stereo markers break skeleton automorphisms and the
+    truncation would be input-order dependent. A truncated search is
+    detectable via `canonical_ranks_complete.last_truncated`.
 
     isomeric=True scores leaves on the ISOMERIC string: skeleton
     automorphisms that swap constitutionally identical arms of a
     stereocenter (cis/trans ring isomers) write different stereo
     markers, so the tie-break must see them to stay input-order
     independent."""
+    if budget is None:
+        budget = 256 if isomeric else 64
+    canonical_ranks_complete.last_truncated = False
     n = mol.num_atoms()
     base = _partition_ranks(mol)
     if len(set(base)) == n:
@@ -163,6 +169,7 @@ def canonical_ranks_complete(mol: Mol, budget: int = 64,
 
     def descend(ranks):
         if leaves[0] >= budget:
+            canonical_ranks_complete.last_truncated = True
             return
         if len(set(ranks)) == n:
             leaves[0] += 1
@@ -253,7 +260,10 @@ def _chiral_token(a, parent: Optional[int],
     """@/@@ under the writer's neighbor order, parity-adjusted from the
     parse-time order (Atom.chiral_order). None when the marker cannot
     be interpreted (unsupported class, neighbor mismatch)."""
-    if a.chiral not in ("@", "@@") or not a.chiral_order:
+    # extended tetrahedral classes are plain @/@@ aliases (OpenSMILES:
+    # @TH1 == @, @TH2 == @@); normalize so they survive round-trip
+    chiral = {"@TH1": "@", "@TH2": "@@"}.get(a.chiral, a.chiral)
+    if chiral not in ("@", "@@") or not a.chiral_order:
         return None
     out = ([parent] if parent is not None else []) + list(out_nbrs)
     if -1 in a.chiral_order:
@@ -264,8 +274,8 @@ def _chiral_token(a, parent: Optional[int],
             or len(set(out)) != len(out) or len(out) not in (3, 4)):
         return None
     if _perm_parity(a.chiral_order, out) == 0:
-        return a.chiral
-    return "@@" if a.chiral == "@" else "@"
+        return chiral
+    return "@@" if chiral == "@" else "@"
 
 
 def write_smiles(mol: Mol, ranks: Optional[List[int]] = None,
@@ -304,21 +314,25 @@ def write_smiles(mol: Mol, ranks: Optional[List[int]] = None,
                 roots.append(i)
                 dfs_tree(i)
 
-        # directional bonds that flank a C=C style double bond; others
-        # are geometrically meaningless and dropped from isomeric
-        # output (RDKit does the same)
+        # directional bonds are geometrically meaningful only when
+        # BOTH ends of an adjacent C=C carry a directional marker;
+        # half-specified markers (e.g. C/C=CC) are stripped, matching
+        # RDKit's stereo perception
         live_dir: Set[int] = set()
         dir_flip: Dict[int, bool] = {}
         if isomeric:
-            dbl_ends = set()
+            dir_at: Dict[int, List[int]] = {}
+            for bi, b in enumerate(mol.bonds):
+                if b.stereo and b.order == 1.0 and not b.aromatic:
+                    dir_at.setdefault(b.a1, []).append(bi)
+                    dir_at.setdefault(b.a2, []).append(bi)
             for b in mol.bonds:
                 if b.order == 2.0 and not b.aromatic:
-                    dbl_ends.add(b.a1)
-                    dbl_ends.add(b.a2)
-            for bi, b in enumerate(mol.bonds):
-                if (b.stereo and b.order == 1.0 and not b.aromatic
-                        and (b.a1 in dbl_ends or b.a2 in dbl_ends)):
-                    live_dir.add(bi)
+                    left = dir_at.get(b.a1, [])
+                    right = dir_at.get(b.a2, [])
+                    if left and right:
+                        live_dir.update(left)
+                        live_dir.update(right)
 
         def emit(record: Optional[List[Tuple[int, str]]]) -> str:
             visited.clear()

@@ -45,6 +45,21 @@ def _load_set(args, name):
     return None
 
 
+def _molgpt_scaffolds(args):
+    """molgpt scaffold list: scaffold_folder/molgpt.csv when present
+    (the reference's Data/scaffold-condition/molgpt.csv layout,
+    psca_sampling.py:139), else the in-repo fixture."""
+    from gctplus_tpu.config import MOLGPT_SCAFFOLDS
+    folder = getattr(args, "scaffold_folder", None)
+    if folder:
+        path = os.path.join(folder, "molgpt.csv")
+        if os.path.exists(path):
+            df = pd.read_csv(path)
+            col = "scaffold" if "scaffold" in df.columns else df.columns[-1]
+            return df[col].dropna().tolist()
+    return list(MOLGPT_SCAFFOLDS)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("gctplus")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -68,8 +83,14 @@ def main(argv=None):
     _common(p)
     p.add_argument("-n_samples", type=int, default=1000)
     p.add_argument("-n_scaffolds", type=int, default=100)
+    # 'molgpt' (reference psca_sampling.py:139, config_default.py:15-20)
+    # switches to the molgpt scaffold list + 2x2x2 property grid and
+    # the sim>=0.8 validity aggregation
     p.add_argument("-scaffold_source", type=str, default="train",
-                   choices=["train", "test_scaffolds"])
+                   choices=["train", "test_scaffolds", "molgpt"])
+    p.add_argument("-scaffold_folder", type=str, default=None,
+                   help="folder holding molgpt.csv (scaffold column); "
+                        "defaults to the in-repo fixture list")
 
     p = sub.add_parser("mol-interpolation")
     _common(p)
@@ -102,7 +123,9 @@ def main(argv=None):
 
     if args.cmd == "uc-sampling":
         from gctplus_tpu.tasks.uc_sampling import uc_sampling
-        uc_sampling(args, train=train, test=test)
+        tsf_df = _load_set(args, "test_scaffolds")
+        tsf = tsf_df["smiles"].tolist() if tsf_df is not None else None
+        uc_sampling(args, train=train, test=test, test_scaffolds=tsf)
     elif args.cmd == "p-sampling":
         from gctplus_tpu.tasks.p_sampling import p_sampling
         p_sampling(args, train=train, train_props=train_df)
@@ -114,10 +137,16 @@ def main(argv=None):
         sca_sampling(args, src_df["scaffold"].tolist(), train=train)
     elif args.cmd == "psca-sampling":
         from gctplus_tpu.tasks.psca_sampling import psca_sampling
-        src_df = _load_set(args, args.scaffold_source)
-        if src_df is None:
-            src_df = train_df
-        psca_sampling(args, src_df["scaffold"].tolist())
+        if args.scaffold_source == "molgpt":
+            # NOTE: pass -property_list axes present in the molgpt
+            # grid (logP/tPSA/SAS) that the checkpoint was trained on
+            scaffolds = _molgpt_scaffolds(args)
+        else:
+            src_df = _load_set(args, args.scaffold_source)
+            if src_df is None:
+                src_df = train_df
+            scaffolds = src_df["scaffold"].tolist()
+        psca_sampling(args, scaffolds)
     elif args.cmd == "mol-interpolation":
         from gctplus_tpu.tasks.mol_interpolation import mol_interpolation
         mol_interpolation(args, test or train)

@@ -27,6 +27,26 @@ TARGET_PROPS = {
     "SAS": [2.0, 2.75, 3.5],
 }
 
+MOLGPT_TARGET_PROPS = {  # Configuration/config_default.py:15-20
+    "logP": [1.0, 3.0],
+    "tPSA": [40.0, 80.0],
+    "SAS": [2.0, 3.5],
+}
+
+# In-repo fixture standing in for the reference's network-gated
+# Data/scaffold-condition/molgpt.csv (Inference/psca_sampling.py:139
+# reads it verbatim): common MOSES-regime Murcko scaffolds in the
+# molgpt-benchmark style (Bagal 2021 conditions on frequent MOSES
+# scaffolds). Swap in the real file via the scaffold-folder CSV path
+# when available.
+MOLGPT_SCAFFOLDS = [
+    "c1ccccc1",
+    "c1ccncc1",
+    "O=C(Nc1ccccc1)c1ccccc1",
+    "c1ccc(-c2ccccc2)cc1",
+    "c1ccc(CN2CCCCC2)cc1",
+]
+
 MOSES_PROP_BOUNDS = {  # Configuration/config.py:77-81
     "logP": [0.03, 4.97],
     "tPSA": [17.92, 112.83],
@@ -34,13 +54,17 @@ MOSES_PROP_BOUNDS = {  # Configuration/config.py:77-81
 }
 
 
-def target_prop_combinations():
-    out = []
-    for lp in TARGET_PROPS["logP"]:
-        for tp in TARGET_PROPS["tPSA"]:
-            for qd in TARGET_PROPS["QED"]:
-                out.append((lp, tp, qd))
-    return out
+def target_prop_combinations(property_list=("logP", "tPSA", "QED"),
+                             scaffold_source=None):
+    """Cartesian target-property grid (Inference/psca_sampling.py:20-27
+    get_trg_prop_combination): the molgpt scaffold source selects the
+    2x2x2 molgpt grid, everything else the 3x3x3 selected grid."""
+    import itertools
+
+    table = (MOLGPT_TARGET_PROPS if scaffold_source == "molgpt"
+             else TARGET_PROPS)
+    return [tuple(c) for c in
+            itertools.product(*(table[p] for p in property_list))]
 
 
 # --- argparse groups (Configuration/config.py:1-65) --------------------

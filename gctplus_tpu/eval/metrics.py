@@ -345,11 +345,57 @@ def fcd(gen: Sequence[str], ref: Sequence[str],
     return _fcd(gen, ref, model_path=model_path, n_jobs=n_jobs)
 
 
+def wasserstein_w1(gen_vals: Sequence[float],
+                   ref_vals: Sequence[float]) -> float:
+    """1-D Wasserstein-1 distance between two empirical distributions
+    (moses WassersteinMetric: scipy.stats.wasserstein_distance)."""
+    from scipy.stats import wasserstein_distance
+
+    g = np.asarray(gen_vals, float)
+    r = np.asarray(ref_vals, float)
+    g, r = g[np.isfinite(g)], r[np.isfinite(r)]
+    if len(g) == 0 or len(r) == 0:
+        return float("nan")
+    return float(wasserstein_distance(g, r))
+
+
+# moses W1 columns -> in-repo descriptor names (SA=SAS, weight=MW)
+_W1_PROPS = (("logP", "logP"), ("SA", "SAS"), ("QED", "QED"),
+             ("weight", "MW"))
+
+
+def _w1_descriptor_distances(gen_valid: Sequence[str],
+                             test: Sequence[str],
+                             n_jobs: int = 1) -> Dict[str, float]:
+    """moses' logP/SA/QED/weight columns: Wasserstein-1 between the
+    valid-gen and test descriptor distributions
+    (moses/metrics/metrics.py FrechetMetric->WassersteinMetric rows)."""
+    from gctplus_tpu.chem.descriptors import props_rows
+
+    names = [src for _, src in _W1_PROPS]
+    g = np.asarray([v if v is not None else [np.nan] * len(names)
+                    for v in props_rows(gen_valid, names, n_jobs)], float)
+    r = np.asarray([v if v is not None else [np.nan] * len(names)
+                    for v in props_rows(test, names, n_jobs)], float)
+    out = {}
+    for j, (col, _) in enumerate(_W1_PROPS):
+        out[col] = wasserstein_w1(g[:, j] if g.size else [],
+                                  r[:, j] if r.size else [])
+    return out
+
+
 def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
                     test: Optional[Sequence[str]] = None,
+                    test_scaffolds: Optional[Sequence[str]] = None,
                     k: Sequence[int] = (1000, 10000),
                     n_jobs: int = 1) -> Dict[str, float]:
-    """The moses.get_all_metrics-shaped report used by uc_sampling."""
+    """The moses.get_all_metrics-shaped report used by uc_sampling
+    (reference Inference/uc_sampling.py:26-39 passes train, test AND
+    test_scaffolds): valid, unique@k, IntDiv/IntDiv2, Filters,
+    novelty, per-reference-split SNN/Frag/Scaf (+FCD when a ChemNet
+    artifact is present; the artifact-free Frechet stand-in is always
+    emitted under the distinct name FDD), and the logP/SA/QED/weight
+    Wasserstein-1 distances vs test."""
     out: Dict[str, float] = {}
     out["valid"] = fraction_valid(gen, n_jobs)
     for kk in k:
@@ -358,14 +404,24 @@ def get_all_metrics(gen: Sequence[str], train: Optional[Sequence[str]] = None,
     out["unique"] = fraction_unique(gen, None, n_jobs)
     out["IntDiv"] = internal_diversity(gen, n_jobs, p=1)
     out["IntDiv2"] = internal_diversity(gen, n_jobs, p=2)
+    from gctplus_tpu.chem.filters import fraction_passes_filters
+    out["Filters"] = fraction_passes_filters(gen, n_jobs)
     if train is not None:
         out["novelty"] = novelty(gen, train, n_jobs)
+    from gctplus_tpu.eval.fcd import default_chemnet_path
+    have_chemnet = default_chemnet_path() is not None
+    for split, ref in (("Test", test), ("TestSF", test_scaffolds)):
+        if ref is None:
+            continue
+        out[f"SNN/{split}"] = snn(gen, ref, n_jobs)
+        out[f"Frag/{split}"] = frag_similarity(gen, ref, n_jobs)
+        out[f"Scaf/{split}"] = scaf_similarity(gen, ref, n_jobs)
+        out[f"ScafOverlap/{split}"] = scaf_overlap(gen, ref, n_jobs)
+        out[f"FDD/{split}"] = frechet_descriptor_distance(
+            gen, ref, n_jobs)
+        if have_chemnet:
+            out[f"FCD/{split}"] = fcd(gen, ref, n_jobs=n_jobs)
     if test is not None:
-        out["SNN/Test"] = snn(gen, test, n_jobs)
-        out["Frag/Test"] = frag_similarity(gen, test, n_jobs)
-        out["Scaf/Test"] = scaf_similarity(gen, test, n_jobs)
-        out["ScafOverlap/Test"] = scaf_overlap(gen, test, n_jobs)
-        from gctplus_tpu.eval.fcd import default_chemnet_path
-        if default_chemnet_path():
-            out["FCD/Test"] = fcd(gen, test, n_jobs=n_jobs)
+        gen_valid = [s for s in canonicalize_all(gen, n_jobs) if s]
+        out.update(_w1_descriptor_distances(gen_valid, test, n_jobs))
     return out

@@ -33,8 +33,15 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
                             os.path.join(save_folder, "record.log"))
     props = list(args.property_list) or ["logP", "tPSA", "QED"]
     sampler = build_sampler(args, log)
+    # reference psca_sampling.py:134-139: 'molgpt' scaffold source
+    # switches both the scaffold list (Data/scaffold-condition/
+    # molgpt.csv; config.MOLGPT_SCAFFOLDS fixture here) and the
+    # property grid (molgpt_selected_target_prop, 2x2x2), and the
+    # metric aggregation filters to scaffold-sim >= 0.8 (:222-224).
+    source_name = getattr(args, "scaffold_source", None)
+    molgpt = source_name == "molgpt"
     scaffolds = select_scaffolds(scaffold_source, args.n_scaffolds, args.seed)
-    combos = target_prop_combinations()
+    combos = target_prop_combinations(props, scaffold_source=source_name)
 
     rows = []
     for si, sca in enumerate(scaffolds):
@@ -67,23 +74,42 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
             canon = ana["canonical"]
             valid_idx = [i for i, c in enumerate(canon) if c is not None]
             valid_smis = [canon[i] for i in valid_idx]
+            sm, scas, sims = scaffold_metrics(
+                valid_smis, sca, args.n_jobs, canonical=True,
+                n_total=len(smiles), return_details=True,
+                scas=[ana["murcko"][i] for i in valid_idx])
+            if molgpt:
+                # molgpt validity (psca_sampling.py:217-224): the
+                # sim>=0.8 subset REPLACES the valid set for every
+                # downstream metric; SSF/sim stats follow the subset.
+                keep_local = [k for k, s in enumerate(sims)
+                              if s is not None and s >= 0.8]
+                valid_idx = [valid_idx[k] for k in keep_local]
+                valid_smis = [valid_smis[k] for k in keep_local]
+                scas = [scas[k] for k in keep_local]
+                sims_kept = [sims[k] for k in keep_local]
+                sm = {
+                    "SSF": (sum(1 for s in sims_kept if s == 1.0)
+                            / len(sims_kept) if sims_kept
+                            else float("nan")),
+                    "sim80": 1.0 if sims_kept else float("nan"),
+                    "avg_scaffold_sim": (float(np.mean(sims_kept))
+                                         if sims_kept else float("nan")),
+                }
             uniq = list(dict.fromkeys(valid_smis))
             n_valid = len(valid_smis)
-            row = {"scaffold": sca, "logP": combo[0], "tPSA": combo[1],
-                   "QED": combo[2],
-                   "valid": n_valid / max(1, len(smiles)),
-                   "unique": len(uniq) / max(1, n_valid),
-                   "intDiv": internal_diversity(
-                       valid_smis, args.n_jobs,
-                       fps=ana["morgan"][valid_idx])}
+            row = {"scaffold": sca}
+            row.update({p: combo[j] for j, p in enumerate(props)})
+            row.update({
+                "valid": n_valid / max(1, len(smiles)),
+                "unique": len(uniq) / max(1, n_valid),
+                "intDiv": internal_diversity(
+                    valid_smis, args.n_jobs,
+                    fps=ana["morgan"][valid_idx])})
             if train is not None:
                 tset = train if isinstance(train, set) else set(train)
                 row["novel"] = (sum(1 for u in uniq if u not in tset)
                                 / max(1, len(uniq)))
-            sm, scas, _sims = scaffold_metrics(
-                valid_smis, sca, args.n_jobs, canonical=True,
-                n_total=len(smiles), return_details=True,
-                scas=[ana["murcko"][i] for i in valid_idx])
             # psca's own in-tolerance is JOINT (scaffold AND props,
             # psca_sampling.py:267-276) — computed below; drop the
             # scaffold-only variants scaffold_metrics returns
@@ -122,6 +148,6 @@ def psca_sampling(args, scaffold_source: Sequence[str], train=None,
     # per-scaffold and per-property aggregations (psca_sampling.py:278-298)
     out.groupby("scaffold").mean(numeric_only=True).to_csv(
         os.path.join(save_folder, "metric_by_scaffold.csv"))
-    out.groupby(["logP", "tPSA", "QED"]).mean(numeric_only=True).to_csv(
+    out.groupby(props).mean(numeric_only=True).to_csv(
         os.path.join(save_folder, "metric_by_property.csv"))
     return out

@@ -31,7 +31,8 @@ def _compute_props(smiles, props, n_jobs):
     return pd.DataFrame(vals, columns=props)
 
 
-def uc_sampling(args, train=None, test=None, log=None) -> pd.DataFrame:
+def uc_sampling(args, train=None, test=None, test_scaffolds=None,
+                log=None) -> pd.DataFrame:
     save_folder = os.path.join(args.save_folder, "uc_sampling")
     os.makedirs(save_folder, exist_ok=True)
     log = log or get_logger("uc_sampling",
@@ -52,6 +53,7 @@ def uc_sampling(args, train=None, test=None, log=None) -> pd.DataFrame:
     if not os.path.exists(metric_path):
         metrics = get_all_metrics(gen["smiles"].tolist(),
                                   train=train, test=test,
+                                  test_scaffolds=test_scaffolds,
                                   n_jobs=args.n_jobs)
         pd.DataFrame([metrics]).to_csv(metric_path, index=False)
         log.info(f"metrics: {metrics}")

@@ -61,8 +61,11 @@ def main():
             "smiles"].tolist()
         test = pd.read_csv(os.path.join(workdir, "raw", "test.csv"))[
             "smiles"].tolist()
+        tsf_path = os.path.join(workdir, "raw", "test_scaffolds.csv")
+        tsf = (pd.read_csv(tsf_path)["smiles"].tolist()
+               if os.path.exists(tsf_path) else None)
         m = uc_sampling(_args(workdir, "vaetf", epoch, n_samples=n),
-                        train=train, test=test)
+                        train=train, test=test, test_scaffolds=tsf)
         print("UC_METRICS " + json.dumps(
             {k: (float(v) if isinstance(v, (int, float)) else str(v))
              for k, v in m.iloc[0].to_dict().items()}), flush=True)

@@ -29,7 +29,15 @@ def salvage(d: str):
         return
     df = pd.DataFrame(rows)
     df.to_csv(os.path.join(d, "metric.csv"), index=False)
-    mean = df.mean(numeric_only=True).to_dict()
+    # average only true metric columns — config fields in the rows
+    # (target logP/tPSA/QED/SAS, seeds) would otherwise pollute the
+    # aggregate (mirrors tasks/psca_sampling.py's final table)
+    config_cols = {"logP", "tPSA", "QED", "SAS", "seed", "epoch",
+                   "top_p", "scaffold"}
+    metric_cols = [c for c in df.columns
+                   if c not in config_cols
+                   and pd.api.types.is_numeric_dtype(df[c])]
+    mean = df[metric_cols].mean(numeric_only=True).to_dict()
     mean["n_cells"] = len(df)
     mean["n_scaffolds"] = df["scaffold"].nunique()
     print(f"PSCA_MEAN {d} " + json.dumps(

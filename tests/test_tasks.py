@@ -194,6 +194,34 @@ def test_psca_sampling_task(tiny_setup):
     assert (res / "metric_by_scaffold.csv").exists()
 
 
+def test_psca_sampling_molgpt_mode(tiny_setup):
+    """molgpt scaffold source (reference psca_sampling.py:134-139,
+    222-224): 2x2x2 grid over logP/tPSA/SAS, sim>=0.8 filtered
+    aggregation, fixture scaffold list."""
+    root, out, runs = tiny_setup
+    from gctplus_tpu.config import MOLGPT_SCAFFOLDS
+    from gctplus_tpu.data.scaler import RobustScaler
+    from gctplus_tpu.tasks.psca_sampling import psca_sampling
+
+    props = ["logP", "tPSA", "SAS"]
+    train_df = out["frames"]["train"]
+    scaler = RobustScaler().fit(train_df[props].to_numpy(), columns=props)
+    scaler.save(str(root / "utils" / "scaler_logP-tPSA-SAS.json"))
+
+    args = _args(root, runs, "pscavaetf", n_scaffolds=2, n_samples=2,
+                 property_list=props, scaffold_source="molgpt",
+                 save_folder=str(root / "results_molgpt"))
+    df = psca_sampling(args, MOLGPT_SCAFFOLDS)
+    assert len(df) == 2 * 8  # 2 scaffolds x molgpt 2x2x2 grid
+    assert set(props) <= set(df.columns)
+    # molgpt aggregation: sim80 over the filtered set is 1.0 (or nan
+    # when no generation clears the 0.8 bar — a tiny random model)
+    s80 = df["sim80"].dropna()
+    assert (s80 == 1.0).all()
+    assert (root / "results_molgpt" / "psca_sampling"
+            / "metric_by_property.csv").exists()
+
+
 def test_cli_sca_sampling_dispatch(tiny_setup, tmp_path):
     """CLI end-to-end dispatch (cli.py): the sca-sampling subcommand
     loads the scaffold source DataFrame (regression: `df or fallback`
