@@ -21,13 +21,18 @@ latest_ep() { ls "$1"/model_*.msgpack 2>/dev/null \
 
 while true; do
   sleep "$PERIOD"
-  for run in _work/bigrun/run_*; do
+  for run in _work/bigrun/run_* _work/bigrun15/run_*; do
     [ -d "$run" ] || continue
     variant=$(basename "$run" | sed 's/^run_//;s/512//')
+    # corpus tag keeps the 620k and 1.5M arms of a variant separate
+    case "$run" in
+      _work/bigrun15/*) tag=1p5m ;;
+      *) tag=620k ;;
+    esac
     ep=$(latest_ep "$run")
     [ -n "$ep" ] || continue
-    dst="checkpoints/${variant}_620k_latest.msgpack"
-    stamp="checkpoints/.${variant}_latest_epoch"
+    dst="checkpoints/${variant}_${tag}_latest.msgpack"
+    stamp="checkpoints/.${variant}_${tag}_latest_epoch"
     prev=$(cat "$stamp" 2>/dev/null || echo "")
     [ "$prev" = "$ep" ] && continue
     # skip epoch-1-only dirs for a run that just started: the blob is

@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _args(workdir, variant, epoch, **kw):
     suffix = os.environ.get("GCT_RUN_SUFFIX", "")  # experiment arm
+    # GCT_EVAL_SEED varies the sampling seed for the 3-seed error-bar
+    # protocol (the published numbers are 3-seed means,
+    # Plot/plot_some.ipynb); non-default seeds get their own results
+    # dir so the gen caches don't collide
+    seed = int(os.environ.get("GCT_EVAL_SEED", "7"))
+    seed_tag = "" if seed == 7 else f"_s{seed}"
     base = dict(
         model_type=variant,
         model_folder=os.path.join(workdir, f"run_{variant}512{suffix}"),
@@ -34,11 +40,11 @@ def _args(workdir, variant, epoch, **kw):
         util_folder=os.path.join(workdir, "utils"),
         data_folder=workdir,
         save_folder=os.path.join(
-            workdir, f"results_{variant}{suffix}_{epoch}"),
+            workdir, f"results_{variant}{suffix}_{epoch}{seed_tag}"),
         property_list=(["logP", "tPSA", "QED"]
                        if variant in ("pvaetf", "pscavaetf") else []),
         max_strlen=80, decode_algo="multinomial", top_k=None, n_jobs=1,
-        seed=7, batch_size=512, N=6, H=8, d_ff=2048, d_model=512,
+        seed=seed, batch_size=512, N=6, H=8, d_ff=2048, d_model=512,
         latent_dim=128, dropout=0.0, variational=True,
         use_cond2dec=False, use_cond2lat=(variant != "vaetf"),
         get_attn=False, compute_dtype="bfloat16")

@@ -9,9 +9,10 @@ cd /root/repo
 W=_work/bigrun
 echo $$ > /tmp/psca_insurance.pid
 while true; do
-  for d in "$W"/results_*; do
+  for d in "$W"/results_* _work/bigrun15/results_*; do
     [ -d "$d" ] || continue
     tag=$(basename "$d")
+    case "$d" in _work/bigrun15/*) tag="b15_$tag" ;; esac
     for sub in "$d"/*; do
       [ -d "$sub" ] || continue
       dst="evidence/bigrun_r4/partial/$tag/$(basename "$sub")"

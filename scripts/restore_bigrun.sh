@@ -22,10 +22,15 @@ fi
 if [ -d evidence/bigrun_r4/partial ]; then
   for tagdir in evidence/bigrun_r4/partial/*/; do
     tag=$(basename "$tagdir")
+    # b15_ prefix marks results that live under the 1.5M workdir
+    case "$tag" in
+      b15_*) wdir=_work/bigrun15; tag=${tag#b15_} ;;
+      *) wdir=_work/bigrun ;;
+    esac
     for subdir in "$tagdir"*/; do
       sub=$(basename "$subdir")
-      mkdir -p "_work/bigrun/$tag/$sub"
-      cp -un "$subdir"* "_work/bigrun/$tag/$sub/" 2>/dev/null
+      mkdir -p "$wdir/$tag/$sub"
+      cp -un "$subdir"* "$wdir/$tag/$sub/" 2>/dev/null
     done
   done
   echo "re-seeded protocol cells from evidence/bigrun_r4/partial"
