@@ -70,11 +70,13 @@ if guard; then
   unset GCT_RUN_SUFFIX
 fi
 
-# ---- sca at 10k/scaffold ----
+# ---- sca at the reference's FULL 100 scaffolds x 10k ----
+# (inference.py:66 n_samples=10000, n_scaffolds=100; r3 timing: ~20s
+# per 2.5k-scaffold after the one-off compile -> ~2.5h per arm at 10k)
 for SRC in train test_scaffolds; do
   guard || break
   timeout 16000 python scripts/eval_bigrun.py sca /root/repo/$W 48 \
-    10000 15 $SRC > $W/eval_sca10k_${SRC}_48.out 2>&1
+    10000 100 $SRC > $W/eval_sca10k_${SRC}_48.out 2>&1
   log "sca10k $SRC rc=$? :: $(grep -a SCA_MEAN \
     $W/eval_sca10k_${SRC}_48.out | tail -1 | cut -c1-260)"
   commit_eval "sca10k_${SRC}_ep48" \
