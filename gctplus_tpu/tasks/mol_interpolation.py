@@ -103,7 +103,16 @@ def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
     loop re-calls interpolate_z_pair, :212-217), eps ~ N(0, std) with
     std growing 0.005 every second failed try (:245-250), abort at
     std >= 1.0. Latents are padded to a fixed `lat_bucket` for the
-    decode (one XLA program; rows beyond toklen are masked out)."""
+    decode (one XLA program; rows beyond toklen are masked out).
+
+    TPU delta (round 5): all n_interp points of the pair decode as
+    ONE fixed-shape batch per attempt round instead of the
+    reference's point-at-a-time loop — wall time drops from
+    sum-of-attempts to max-of-attempts decode calls (~7x through the
+    tunnel at the 100-pair protocol). Each point keeps its own
+    attempt/std schedule, so the retry semantics are unchanged; only
+    host-RNG draw ORDER differs (statistically equivalent, and the
+    protocol decode is greedy — deterministic given z)."""
     t0 = sampler.tokenizer(s0)
     t1 = sampler.tokenizer(s1)
     L = len(t0)  # reference toklen = z1.size(0) — the FIRST molecule
@@ -112,29 +121,38 @@ def interpolate_pair(sampler, s0: str, s1: str, n_interp: int = 8,
     lv0, lv1 = logvar[0][: len(t0)], logvar[1][: len(t1)]
     rng = sampler.rng
 
-    out: List[Optional[str]] = [s0]
     d = mu0.shape[-1]
-    for alpha in np.linspace(0.0, 1.0, n_interp + 2)[1:-1]:
-        smi, std = None, 0.0
-        for attempt in range(max_retry):
-            mu_a = _interpolate_z_pair(mu0, mu1, float(alpha), rng,
+    alphas = np.linspace(0.0, 1.0, n_interp + 2)[1:-1]
+    result: List[Optional[str]] = [None] * n_interp
+    stds = np.zeros(n_interp)
+    z = np.zeros((n_interp, lat_bucket, d), np.float32)
+    pending = list(range(n_interp))
+    for attempt in range(max_retry):
+        if not pending:
+            break
+        for k in pending:
+            mu_a = _interpolate_z_pair(mu0, mu1, float(alphas[k]), rng,
                                        interp_fn)
-            lv_a = _interpolate_z_pair(lv0, lv1, float(alpha), rng,
+            lv_a = _interpolate_z_pair(lv0, lv1, float(alphas[k]), rng,
                                        interp_fn)
-            eps = rng.standard_normal(mu_a.shape) * std
-            z = np.zeros((1, lat_bucket, d), np.float32)
-            z[0, :L] = mu_a + eps * np.exp(0.5 * lv_a)
-            cand = sampler.decode_z(z, toklen=np.array([L]))[0]
+            eps = rng.standard_normal(mu_a.shape) * stds[k]
+            z[k, :L] = mu_a + eps * np.exp(0.5 * lv_a)
+        # finished slots keep their stale z and are ignored below —
+        # the fixed batch shape means one XLA program for the run
+        cands = sampler.decode_z(z, toklen=np.full(n_interp, L))
+        still = []
+        for k in pending:
+            cand = cands[k]
             if cand and is_valid_smiles(cand):
-                smi = cand
-                break
+                result[k] = cand
+                continue
             if attempt % 2 == 1:
-                std += std_step  # grow noise every 2 tries (:245-250)
-            if std >= 1.0:
-                break
-        out.append(smi)
-    out.append(s1)
-    return out
+                stds[k] += std_step  # grow noise every 2 tries (:245-250)
+            if stds[k] >= 1.0:
+                continue  # abort this point (reference :251-256)
+            still.append(k)
+        pending = still
+    return [s0] + result + [s1]
 
 
 def compute_smoothness_prev(sims_prev: Sequence[float],
