@@ -70,10 +70,12 @@ if guard; then
   unset GCT_RUN_SUFFIX
 fi
 
-# ---- sca at the reference's FULL 100 scaffolds x 10k ----
+# ---- sca at the reference's FULL 100 scaffolds x 10k, seen arm ----
 # (inference.py:66 n_samples=10000, n_scaffolds=100; r3 timing: ~20s
-# per 2.5k-scaffold after the one-off compile -> ~2.5h per arm at 10k)
-for SRC in train test_scaffolds; do
+# per 2.5k-scaffold after the one-off compile -> ~2.5-3h at 10k.
+# The unseen arm stays at the r3 100x2500 numbers — chip time this
+# round goes to the 1.5M-corpus continuation instead.)
+for SRC in train; do
   guard || break
   timeout 16000 python scripts/eval_bigrun.py sca /root/repo/$W 48 \
     10000 100 $SRC > $W/eval_sca10k_${SRC}_48.out 2>&1
