@@ -194,6 +194,50 @@ def test_psca_sampling_task(tiny_setup):
     assert (res / "metric_by_scaffold.csv").exists()
 
 
+def test_interpolate_pair_batched_retry_semantics():
+    """The batched decode keeps the reference per-point retry rules
+    (mol_interpolation.py:200-259): failed points redraw with std
+    growing 0.005 every SECOND failed try, independent schedules per
+    point, results in alpha order."""
+    from gctplus_tpu.tasks.mol_interpolation import interpolate_pair
+
+    class StubSampler:
+        def __init__(self):
+            self.rng = np.random.default_rng(0)
+            self.calls = []
+
+        def tokenizer(self, s):
+            return list(s)
+
+        def encode_smiles(self, smis, pad_to=None):
+            L = pad_to or 8
+            mu = np.zeros((len(smis), L, 4))
+            return None, mu, np.zeros_like(mu)
+
+        def decode_z(self, z, toklen=None):
+            self.calls.append(z.shape)
+            n_call = len(self.calls)
+            out = []
+            for k in range(z.shape[0]):
+                # point 0 succeeds immediately; point 1 needs 3 tries;
+                # point 2 never succeeds
+                if k == 0 or (k == 1 and n_call >= 3):
+                    out.append("CCO")
+                else:
+                    out.append("x(")  # invalid
+            return out
+
+    s = StubSampler()
+    path = interpolate_pair(s, "CCO", "CCN", n_interp=3, max_retry=6)
+    assert path[0] == "CCO" and path[-1] == "CCN"
+    assert path[1] == "CCO"          # point 0: first-attempt success
+    assert path[2] == "CCO"          # point 1: succeeded on retry
+    assert path[3] is None           # point 2: exhausted retries
+    # every decode call uses the FIXED batch shape (one XLA program)
+    assert all(shape[0] == 3 for shape in s.calls)
+    assert len(s.calls) == 6         # max-of-attempts, not sum
+
+
 def test_psca_sampling_molgpt_mode(tiny_setup):
     """molgpt scaffold source (reference psca_sampling.py:134-139,
     222-224): 2x2x2 grid over logP/tPSA/SAS, sim>=0.8 filtered
