@@ -86,6 +86,30 @@ if guard; then
     "$W/results_interp_48g" "$W/eval_interp100_48.out"
 fi
 
+# ---- uc30k with the completed metric suite (VERDICT item 4 at
+# flagship scale: TestSF columns, Filters, W1 distances) ----
+if guard; then
+  timeout 5400 python scripts/eval_bigrun.py uc /root/repo/$W 40 30000 \
+    > $W/eval_uc30k_40.out 2>&1
+  log "uc30k rc=$? :: $(grep -a UC_METRICS \
+    $W/eval_uc30k_40.out | tail -1 | cut -c1-320)"
+  commit_eval "uc30k_ep40_fullsuite" "$W/results_vaetf_40" \
+    "$W/eval_uc30k_40.out"
+fi
+
+# ---- uc seed variance at 10k (seeds 11, 13) ----
+for SEED in 11 13; do
+  guard || break
+  export GCT_EVAL_SEED=$SEED
+  timeout 3600 python scripts/eval_bigrun.py uc /root/repo/$W 40 10000 \
+    > $W/eval_uc10k_s$SEED.out 2>&1
+  log "uc10k seed$SEED rc=$? :: $(grep -a UC_METRICS \
+    $W/eval_uc10k_s$SEED.out | tail -1 | cut -c1-320)"
+  commit_eval "uc10k_ep40_s$SEED" "$W/results_vaetf_40_s$SEED" \
+    "$W/eval_uc10k_s$SEED.out"
+  unset GCT_EVAL_SEED
+done
+
 # ---- 3-seed error bars: p probe + sca probe (seeds 11, 13) ----
 for SEED in 11 13; do
   guard || break
