@@ -42,6 +42,17 @@ while [ -d "/proc/$(cat /tmp/chain_r5b.pid 2>/dev/null || echo 0)" ]; do
 done
 log "chain B finished"
 
+# ---- finish the psamp 27x10k tol-0.03 run (tunnel hang cut it at
+# 17/27 combos in chain A; gens are cached, resume is cheap) ----
+if guard; then
+  timeout 5400 python scripts/eval_bigrun.py psamp /root/repo/$W 45 10000 \
+    >> $W/eval_psamp10k_tol003_45.out 2>&1
+  log "psamp10k tol003 resume rc=$? :: $(grep -a PSAMP_MEAN \
+    $W/eval_psamp10k_tol003_45.out | tail -1 | cut -c1-260)"
+  commit_eval "psamp_ep45_10k_tol003" "$W/results_pvaetf_45" \
+    "$W/eval_psamp10k_tol003_45.out"
+fi
+
 # ---- stop the pscavaetf trainer at its newest full epoch ----
 if [ -f /tmp/train_psca.pid ] && [ -d "/proc/$(cat /tmp/train_psca.pid)" ]; then
   kill "$(cat /tmp/train_psca.pid)" 2>/dev/null
