@@ -25,7 +25,9 @@
 set -u
 cd /root/repo
 CHECK_S=${CHECK_S:-90}
-GRACE_S=${GRACE_S:-600}
+# grace must cover a full remote AOT compile chain: observed >12 min
+# silent on a cold cache (round 5, 1.5M trainer launch)
+GRACE_S=${GRACE_S:-2400}
 STRIKES_MAX=${STRIKES_MAX:-3}
 echo $$ > /tmp/watchdog.pid
 declare -A LAST_SIZE STRIKES
