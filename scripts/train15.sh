@@ -27,6 +27,10 @@ if ! ls "$DST_RUN"/model_*.msgpack >/dev/null 2>&1; then
 fi
 
 export GCT_RUN_SUFFIX=$SUFFIX
+# the _nofb arm is the exact-reference-ELBO continuation: free bits
+# MUST stay off or the resume silently reverts to the 0.05 floor
+# (train_bigrun.py reads GCT_FREE_BITS, not the suffix)
+case "$SUFFIX" in *_nofb*) export GCT_FREE_BITS=0 ;; esac
 nohup python scripts/train_bigrun.py "$V" /root/repo/$W15 "$EPOCHS" \
   >> $W15/train_${V}${SUFFIX}.out 2>&1 &
 echo $! > "$PIDFILE"
