@@ -65,6 +65,10 @@ class ModelConfig:
     # fused FFN with HBM-free backward (ops/fused_ffn.py) — the train
     # hot path's byte-reduction kernel; TPU-only, opt-in
     use_fused_ffn: bool = False
+    # transpose-free (bs, L, h, dk) attention layout on batch paths
+    # (models/layers.py::scaled_dot_attention_blhd); opt-in pending
+    # the on-chip A/B
+    attn_blhd: bool = False
 
     @property
     def d_k(self) -> int:
@@ -88,7 +92,8 @@ class Encoder(nn.Module):
         self.layers = [
             EncoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype,
                          use_pallas=c.use_pallas_attention,
-                         use_fused_ffn=c.use_fused_ffn)
+                         use_fused_ffn=c.use_fused_ffn,
+                         use_blhd=c.attn_blhd)
             for _ in range(c.N)
         ]
         self.norm = Norm(c.d_model, dtype=c.dtype)
@@ -179,7 +184,8 @@ class Decoder(nn.Module):
         self.layers = [
             DecoderLayer(c.heads, c.d_model, c.d_ff, c.dropout, c.dtype,
                          use_pallas=c.use_pallas_attention,
-                         use_fused_ffn=c.use_fused_ffn)
+                         use_fused_ffn=c.use_fused_ffn,
+                         use_blhd=c.attn_blhd)
             for _ in range(c.N)
         ]
         self.norm = Norm(c.d_model, dtype=c.dtype)

@@ -142,6 +142,33 @@ def scaled_dot_attention(q, k, v, mask, dropout_mod, deterministic, dtype):
     return out.astype(dtype), weights
 
 
+def scaled_dot_attention_blhd(q, k, v, mask, dropout_mod, deterministic,
+                              dtype):
+    """Same math as scaled_dot_attention but on (bs, L, h, dk) operands:
+    the head split/merge transposes are folded into the dot_generals
+    (einsum batch/contract dims) instead of materialized — the train
+    trace showed 27 ms/step of pure layout-change HLOs at the flagship
+    shape (EVIDENCE.md round-3 roofline), most of it the three
+    (bs,L,h,dk)->(bs,h,L,dk) copies per attention call. Weights keep
+    the (bs, h, Lq, Lk) layout, so the dropout draw and the returned
+    attention maps are bit-compatible with the BHLD path."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=matmul_precision(q.dtype))
+    scores = scores / math.sqrt(d_k)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, MASK_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)
+    attn = weights.astype(dtype)
+    if dropout_mod is not None:
+        attn = dropout_mod(attn, deterministic=deterministic)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                     preferred_element_type=jnp.float32,
+                     precision=matmul_precision(v.dtype))
+    return out.astype(dtype), weights
+
+
 def _pallas_attention_applicable(mask, deterministic, dropout,
                                  return_attn, q_len) -> bool:
     """The fused Pallas kernel handles the deterministic no-weights
@@ -166,6 +193,10 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # transpose-free (bs, L, h, dk) attention layout on the batch
+    # paths (scaled_dot_attention_blhd); decode/KV-cache paths keep
+    # BHLD, which the streaming kernels expect
+    use_blhd: bool = False
 
     def setup(self):
         dense = lambda name: nn.Dense(
@@ -187,19 +218,35 @@ class MultiHeadAttention(nn.Module):
         bs, h, L, d_k = x.shape
         return x.transpose(0, 2, 1, 3).reshape(bs, L, h * d_k)
 
+    def _heads4(self, x):
+        bs, L, _ = x.shape
+        return x.reshape(bs, L, self.heads, self.d_k)
+
     def __call__(self, q, k, v, mask=None, deterministic: bool = True,
                  return_attn: bool = False):
-        qh = self._split(self.q_linear(q))
-        kh = self._split(self.k_linear(k))
-        vh = self._split(self.v_linear(v))
         if self.use_pallas and _pallas_attention_applicable(
-                mask, deterministic, self.dropout, return_attn, qh.shape[2]):
+                mask, deterministic, self.dropout, return_attn, q.shape[1]):
+            qh = self._split(self.q_linear(q))
+            kh = self._split(self.k_linear(k))
+            vh = self._split(self.v_linear(v))
             from gctplus_tpu.ops.flash_attention import fused_attention
             ctx = fused_attention(qh, kh, vh, mask)
             return self.out(self._merge(ctx))
-        ctx, weights = scaled_dot_attention(
-            qh, kh, vh, mask, self.attn_drop, deterministic, self.dtype)
-        out = self.out(self._merge(ctx))
+        if self.use_blhd:
+            q4 = self._heads4(self.q_linear(q))
+            k4 = self._heads4(self.k_linear(k))
+            v4 = self._heads4(self.v_linear(v))
+            ctx, weights = scaled_dot_attention_blhd(
+                q4, k4, v4, mask, self.attn_drop, deterministic, self.dtype)
+            bs, Lq = ctx.shape[0], ctx.shape[1]
+            out = self.out(ctx.reshape(bs, Lq, self.d_model))
+        else:
+            qh = self._split(self.q_linear(q))
+            kh = self._split(self.k_linear(k))
+            vh = self._split(self.v_linear(v))
+            ctx, weights = scaled_dot_attention(
+                qh, kh, vh, mask, self.attn_drop, deterministic, self.dtype)
+            out = self.out(self._merge(ctx))
         if return_attn:
             return out, weights
         return out
@@ -279,11 +326,13 @@ class EncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_fused_ffn: bool = False
+    use_blhd: bool = False
 
     def setup(self):
         self.norm_1 = Norm(self.d_model, dtype=self.dtype)
         self.attn = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
-                                       use_pallas=self.use_pallas)
+                                       use_pallas=self.use_pallas,
+                                       use_blhd=self.use_blhd)
         self.norm_2 = Norm(self.d_model, dtype=self.dtype)
         self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype,
                               use_fused=self.use_fused_ffn)
@@ -318,14 +367,17 @@ class DecoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_fused_ffn: bool = False
+    use_blhd: bool = False
 
     def setup(self):
         self.norm_1 = Norm(self.d_model, dtype=self.dtype)
         self.attn_1 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
-                                         use_pallas=self.use_pallas)
+                                         use_pallas=self.use_pallas,
+                                         use_blhd=self.use_blhd)
         self.norm_2 = Norm(self.d_model, dtype=self.dtype)
         self.attn_2 = MultiHeadAttention(self.heads, self.d_model, self.dropout, self.dtype,
-                                         use_pallas=self.use_pallas)
+                                         use_pallas=self.use_pallas,
+                                         use_blhd=self.use_blhd)
         self.norm_3 = Norm(self.d_model, dtype=self.dtype)
         self.ff = FeedForward(self.d_model, self.d_ff, self.dropout, self.dtype,
                               use_fused=self.use_fused_ffn)

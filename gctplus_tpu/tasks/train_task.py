@@ -115,7 +115,8 @@ def train_task(args) -> None:
         d_model=args.d_model, d_ff=args.d_ff, heads=args.H,
         latent_dim=args.latent_dim, dropout=args.dropout, dtype=dtype,
         use_cond2dec=args.use_cond2dec,
-        use_fused_ffn=bool(getattr(args, "use_fused_ffn", False)))
+        use_fused_ffn=bool(getattr(args, "use_fused_ffn", False)),
+        attn_blhd=bool(getattr(args, "attn_blhd", False)))
     params = init_params(model, cfg, jax.random.PRNGKey(args.seed))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert n_params > 0  # train1.py:107

@@ -245,3 +245,42 @@ def test_free_bits_kl_floor():
     lh_fb, _ = elbo_loss(logits, labels, mu2, log_var, 1.0, pad_id=1,
                          free_bits=lam)
     assert np.isclose(float(lh), float(lh_fb))
+
+
+def test_blhd_attention_layout_parity():
+    """attn_blhd folds the head transposes into the dot_generals
+    (models/layers.py::scaled_dot_attention_blhd); forward logits and
+    one optimizer step must agree with the default BHLD layout on the
+    same params/batch/rng (same math, different HLO layout)."""
+    import dataclasses
+
+    model, cfg, params = _tiny_setup("pvaetf")
+    cfg_b = dataclasses.replace(cfg, attn_blhd=True)
+    model_b = Cvaetf(cfg_b)
+    batch = _tiny_batch(cfg)
+
+    from gctplus_tpu.models.masks import get_src_mask, get_trg_mask
+
+    src, trg = batch["src"], batch["trg"][:, :-1]
+    src_mask = get_src_mask(src, 1, batch["econds"])
+    trg_mask = get_trg_mask(trg, 1, False, batch["dconds"])
+    outs = []
+    for m in (model, model_b):
+        _, out_mol, mu, log_var, _ = m.apply(
+            {"params": params}, src, trg, src_mask, trg_mask,
+            econds=batch["econds"], dconds=batch["dconds"],
+            deterministic=True, rngs={"sample": jax.random.PRNGKey(3)})
+        outs.append(np.asarray(out_mol, np.float32))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5, rtol=2e-5)
+
+    # one non-deterministic train step: dropout draws on the (b,h,q,k)
+    # weights are layout-invariant, so losses must match too
+    tx, sched = make_optimizer(cfg.d_model, warmup_steps=10)
+    auxes = []
+    for m in (model, model_b):
+        state = TrainState.create(params, tx)
+        step = make_train_step(m, pad_id=1, use_cond2dec=False,
+                               lr_schedule=sched, donate=False)
+        state, aux = step(state, batch, 0.1, jax.random.PRNGKey(5))
+        auxes.append(float(aux["LOSS"]))
+    assert abs(auxes[0] - auxes[1]) < 1e-2, auxes
