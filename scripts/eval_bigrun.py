@@ -165,7 +165,13 @@ def main():
         else:
             from gctplus_tpu.tasks.psca_sampling import psca_sampling
             df = psca_sampling(a, scaffold_source, train=train_set)
-        agg = df.mean(numeric_only=True).to_dict()
+        # average only true metric columns — the per-cell target
+        # values (logP/tPSA/QED) are protocol config, not results
+        # (mirrors scripts/psca_salvage.py)
+        config_cols = {"logP", "tPSA", "QED", "SAS", "seed", "epoch",
+                       "top_p", "scaffold"}
+        metric_cols = [c for c in df.columns if c not in config_cols]
+        agg = df[metric_cols].mean(numeric_only=True).to_dict()
         print(f"{mode.upper()}_MEAN [{source}] " + json.dumps(
             {k: round(float(v), 4) for k, v in agg.items()}), flush=True)
     else:
