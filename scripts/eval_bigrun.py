@@ -79,7 +79,10 @@ def main():
         n = int(sys.argv[4]) if len(sys.argv) > 4 else 10000
         from gctplus_tpu.tasks.p_sampling import p_sampling
         train_props = pd.read_csv(os.path.join(workdir, "raw", "train.csv"))
+        # train set membership -> per-combo novelty (the published P
+        # row reports novelty 0.953, Plot/plot_some.ipynb cell 10)
         df = p_sampling(_args(workdir, "pvaetf", epoch, n_samples=n),
+                        train=set(train_props["smiles"].tolist()),
                         train_props=train_props)
         agg = df.mean(numeric_only=True).to_dict()
         print("PSAMP_MEAN " + json.dumps(
