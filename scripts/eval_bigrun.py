@@ -161,7 +161,13 @@ def main():
                       workdir,
                       f"results_{variant}"
                       f"{os.environ.get('GCT_RUN_SUFFIX', '')}"
-                      f"_{epoch}_{source}"))
+                      f"_{epoch}_{source}"
+                      # non-default eval seeds get their own cell
+                      # cache — without this, a seed rerun silently
+                      # aggregates the default seed's cached rows
+                      # (observed: sca1k s11/s13 == the 10k run)
+                      + ("" if os.environ.get("GCT_EVAL_SEED", "7") == "7"
+                         else f"_s{os.environ['GCT_EVAL_SEED']}")))
         if mode == "sca":
             from gctplus_tpu.tasks.sca_sampling import sca_sampling
             df = sca_sampling(a, scaffold_source, train=train_set)
