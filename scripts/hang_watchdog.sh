@@ -28,7 +28,11 @@ CHECK_S=${CHECK_S:-90}
 # grace must cover a full remote AOT compile chain: observed >12 min
 # silent on a cold cache (round 5, 1.5M trainer launch)
 GRACE_S=${GRACE_S:-2400}
-STRIKES_MAX=${STRIKES_MAX:-3}
+# 4 strikes x 90 s = 6 min of stale log before a kill: the full
+# params+Adam checkpoint gather is silent for up to ~4 min ON TOP of
+# the preceding epoch-end step, and a false kill costs a whole epoch
+# (round-5 pvaetf incident); a real hang just waits 90 s longer
+STRIKES_MAX=${STRIKES_MAX:-4}
 echo $$ > /tmp/watchdog.pid
 declare -A LAST_SIZE STRIKES
 
@@ -60,6 +64,19 @@ while true; do
     LAST_SIZE[$key]=$size
     [ -z "$prev_s" ] && continue
     if [ "$size" = "$prev_s" ]; then
+      # a full params+Adam checkpoint gather+serialize is silent for
+      # 100-240 s (CLAUDE.md); if anything in the trainer's run dir
+      # was written in the last 3 min, this is a checkpoint in
+      # progress, not a hang (observed false-positive kill of the
+      # pvaetf-1.5M trainer at its ep48 full blob, round 5)
+      rundir=$(tr '\0' '\n' < "/proc/$pid/cmdline" 2>/dev/null \
+               | grep -m1 '^/root/repo/_work/')
+      if [ -n "$rundir" ] && [ -n "$(find "$rundir" -maxdepth 2 \
+            -name '*.msgpack*' -newermt '-180 seconds' 2>/dev/null \
+            | head -1)" ]; then
+        wlog "$pid log stale but checkpoint write in progress, skip"
+        continue
+      fi
       STRIKES[$key]=$(( ${STRIKES[$key]:-0} + 1 ))
       wlog "$pid log stale ($out @ $size bytes, " \
            "strike ${STRIKES[$key]}/$STRIKES_MAX)"
