@@ -100,7 +100,13 @@ def main():
         # ms/step at the flagship shape (rbg PRNG, bs=512, donation) —
         # a 3.4% win with verified numeric parity (scripts/
         # probe_ffn_ab.py, EVIDENCE.md)
-        use_fused_ffn=os.environ.get("GCT_FUSED_FFN", "1") == "1")
+        use_fused_ffn=os.environ.get("GCT_FUSED_FFN", "1") == "1",
+        # transpose-free attention layout (models/layers.py::
+        # scaled_dot_attention_blhd). On-chip A/B (scripts/
+        # probe_blhd_ab.py, EVIDENCE.md round 5): NO step-time delta
+        # (234.2 vs 234.8 ms, losses bit-identical) — XLA already
+        # fuses the head transposes, so this stays opt-in/off
+        attn_blhd=os.environ.get("GCT_ATTN_BLHD", "0") == "1")
 
     done = 0
     if os.path.isdir(args.model_folder):
